@@ -1,44 +1,334 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+(or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is one implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` carries the
+DuckDB-equivalent SQL for every SQL-expressible entry — column names
+match exactly (the driver hashes values after sorting columns by name).
+Non-SQL-expressible entries (full extractor parsers, minhash, ANN) are
+rows-only checked by the driver and verified instead by the in-repo
+serial-oracle pytest suite.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from intelligent_ocr_ray.config import DEFAULT_CONFIG
+from intelligent_ocr_ray.pipelines.extract import extract_dataset
+from intelligent_ocr_ray.sources.transcripts import SQL_DERIVATION, transcripts_from_documents
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# --- helpers --------------------------------------------------------------
+
+
+def _cents_cols(ds, cols: list[str]):
+    """Re-emit float-sum columns as integer cents (×100, half-to-even,
+    int64). Rounded DOUBLEs are not comparable across engines (the
+    nearest-double of e.g. 83.46 is implementation-dependent); integers
+    hash identically everywhere. The oracle SQL mirrors with
+    CAST(round_even(sum(x)*100, 0) AS BIGINT)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            i = t.schema.get_field_index(c)
+            cents = pc.cast(pc.round(pc.multiply(t.column(c), 100.0), ndigits=0), pa.int64())
+            t = t.set_column(i, c + "_cents", cents)
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _docs(sf_dir: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# --- entry ---------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: per-turn extraction over transcripts derived from the
+    sf0.001 documents table, in stable (conv_id, turn_idx) order."""
+    ds = transcripts_from_documents(SF0001)
+    out = extract_dataset(ds, DEFAULT_CONFIG, concurrency=2).sort(["conv_id", "turn_idx"])
+    return out
+
+
+# --- queries --------------------------------------------------------------
+
+
+def _q_extract_transcripts(sf_dir: str):
+    ds = transcripts_from_documents(sf_dir)
+    out = extract_dataset(ds, DEFAULT_CONFIG, concurrency=2)
+    return out.select_columns(
+        ["conv_id", "turn_idx", "route", "extracted_text", "text_normalized", "status", "error"]
+    )
+
+
+def _q_extract_passthrough(sf_dir: str):
+    """SQL-checkable branch of the unified extractor: blank +
+    plain_long (existing-text passthrough) routes only."""
+    ds = transcripts_from_documents(sf_dir)
+    out = extract_dataset(ds, DEFAULT_CONFIG, concurrency=2)
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("route"), value_set=pa.array(["plain_long", "blank"]))
+        return t.filter(mask).select(
+            ["conv_id", "turn_idx", "route", "extracted_text", "status"]
+        )
+
+    return out.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_token_stats(sf_dir: str):
+    from intelligent_ocr_ray.stages.text_stats import token_count_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "n_tokens", "n_chars_measured"])
+
+
+def _q_quality_stats(sf_dir: str):
+    from intelligent_ocr_ray.stages.text_stats import quality_stats_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        quality_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(
+        ["doc_id", "n_tokens", "punct_ratio", "upper_ratio", "digit_ratio", "stopword_ratio"]
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    from intelligent_ocr_ray.stages.text_stats import lang_id_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lang_id_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "lang_guess"])
+
+
+def _q_lang_profile(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from intelligent_ocr_ray.stages.text_stats import lang_id_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    classified = ds.map_batches(lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return classified.groupby("lang_guess").aggregate(Count(alias_name="n_docs"))
+
+
+def _q_exact_dedup(sf_dir: str):
+    """Exact dedup: keep the min-doc_id representative per identical
+    text (hash-partition by content via groupby; D1 done-set analog)."""
+    from ray.data.aggregate import Min
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+def _q_doc_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def _q_events_hourly(sf_dir: str):
+    from intelligent_ocr_ray.pipelines.events import hourly_rollup
+
+    return _cents_cols(hourly_rollup(sf_dir), ["sum_value"])
+
+
+def _q_events_sessions(sf_dir: str):
+    from intelligent_ocr_ray.pipelines.events import sessionize
+
+    return _cents_cols(sessionize(sf_dir), ["sum_value"])
+
+
+def _q_pricing_summary(sf_dir: str):
+    from intelligent_ocr_ray.pipelines.relational import pricing_summary
+
+    return _cents_cols(
+        pricing_summary(sf_dir), ["sum_qty", "sum_base_price", "sum_disc_price"]
+    )
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from intelligent_ocr_ray.pipelines.relational import revenue_by_nation
+
+    return _cents_cols(revenue_by_nation(sf_dir), ["revenue"])
+
+
+def _q_top_parts(sf_dir: str):
+    from intelligent_ocr_ray.pipelines.relational import top_parts_by_size
+
+    return top_parts_by_size(sf_dir)
+
+
+def _q_fingerprint(sf_dir: str):
+    from intelligent_ocr_ray.stages.text_stats import Fingerprint
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        Fingerprint, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    ).select_columns(["doc_id", "fingerprint"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "extract_transcripts": _q_extract_transcripts,
+        "extract_passthrough": _q_extract_passthrough,
+        "token_stats": _q_token_stats,
+        "quality_stats": _q_quality_stats,
+        "lang_id": _q_lang_id,
+        "lang_profile": _q_lang_profile,
+        "exact_dedup": _q_exact_dedup,
+        "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_parts": _q_top_parts,
+        "fingerprint": _q_fingerprint,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- oracle SQL -----------------------------------------------------------
+
+_WS_TRIM = "' ' || chr(9) || chr(13) || chr(10)"
+
+_NOISE_RE = r"'^[ \t\r\n=_~*·.•-]+$'"
+_HTML_OPEN_RE = (
+    r"'<(p|div|a|li|ul|ol|nav|footer|header|span|h[1-6]|body|html|br|"
+    r"table|td|tr|section|article|aside|title)[ >]'"
+)
+_HTML_CLOSE_RE = (
+    r"'</(p|div|a|li|ul|ol|nav|footer|header|span|h[1-6]|body|html|"
+    r"table|td|tr|section|article|aside|title)>'"
+)
+
+_PASSTHROUGH_SQL = f"""
+WITH t AS ({SQL_DERIVATION}),
+r AS (
+  SELECT conv_id, turn_idx, text,
+         trim(text, {_WS_TRIM}) AS s
+  FROM t
+),
+c AS (
+  SELECT conv_id, turn_idx, text, s,
+         (s = '' OR regexp_matches(s, {_NOISE_RE})) AS is_blank,
+         starts_with(s, '%LAYOUT') AS is_pdfish,
+         (regexp_matches(text, {_HTML_OPEN_RE})
+          AND regexp_matches(text, {_HTML_CLOSE_RE})) AS is_html
+  FROM r
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN is_blank THEN 'blank' ELSE 'plain_long' END AS route,
+       CASE WHEN is_blank THEN '' ELSE text END AS extracted_text,
+       CASE WHEN is_blank THEN 'skipped' ELSE 'ok' END AS status
+FROM c
+WHERE is_blank OR (NOT is_pdfish AND NOT is_html AND length(s) > 50)
+"""
+
+_TOKEN_RE_SQL = r"'[^ \t\r\n]+'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_passthrough": _PASSTHROUGH_SQL,
+        "token_stats": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS n_tokens,
+                   length(text) AS n_chars_measured
+            FROM documents
+        """,
+        "quality_stats": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS n_tokens,
+                   len(regexp_extract_all(text, '[.,;:!?]'))
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+                   len(regexp_extract_all(text, '[A-Z]'))
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0) AS upper_ratio,
+                   len(regexp_extract_all(text, '[0-9]'))
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio,
+                   len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|a|for|on|with)\\b'))
+                     / greatest(CAST(len(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS DOUBLE), 1.0)
+                     AS stopword_ratio
+            FROM documents
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[一-龥぀-ゟ゠-ヿ]') THEN 'cjk'
+                        WHEN regexp_matches(text, '\\b(the|and|of|to|in|is|a)\\b') THEN 'en'
+                        ELSE 'other' END AS lang_guess
+            FROM documents
+        """,
+        "lang_profile": """
+            SELECT CASE WHEN regexp_matches(text, '[一-龥぀-ゟ゠-ヿ]') THEN 'cjk'
+                        WHEN regexp_matches(text, '\\b(the|and|of|to|in|is|a)\\b') THEN 'en'
+                        ELSE 'other' END AS lang_guess,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "exact_dedup": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "doc_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(round_even(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH d AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ), s AS (
+              SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM d
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   CAST(round_even(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents, min(ts) AS session_start
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round_even(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_cents,
+                   CAST(round_even(sum(l_extendedprice) * 100, 0) AS BIGINT) AS sum_base_price_cents,
+                   CAST(round_even(sum(l_extendedprice * (1.0 - l_discount)) * 100, 0) AS BIGINT) AS sum_disc_price_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, CAST(round_even(sum(o_totalprice) * 100, 0) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_parts": """
+            SELECT p_partkey, p_size, p_retailprice FROM part
+            WHERE p_size >= 25
+            ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+        """,
+    }

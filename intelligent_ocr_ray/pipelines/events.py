@@ -1,0 +1,88 @@
+"""Stream-shaped operators over the `events` table (event_id, ts,
+user_id, event_type, value, props).
+
+Ray Data has no event-time watermarks; the engine treats events as an
+ordered partitioned log (ray_guide.md "Streaming-shaped workloads"):
+tumbling windows = vectorized truncation + pre-aggregated groupby;
+session windows = per-user map_groups over ts-sorted groups. The
+reference's streaming semantics (bounded-queue pipeline,
+core/pdf_processor.py:1156-1241) need no analog here beyond ordering —
+Ray's streaming executor supplies backpressure.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def read_events(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def hourly_rollup(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window per event_type: count + sum(value).
+
+    Scale shape: the window key is computed vectorized per batch, and a
+    per-batch PARTIAL aggregate shrinks the shuffle input from O(rows)
+    to O(distinct hour×type per batch) before the global groupby —
+    the mergeable-partial pattern (ray_guide.md "Aggregation at scale").
+    """
+    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = batch.drop_columns(["ts"]).append_column("hour", hour)
+        # arrow-native within-batch combine
+        return pa.TableGroupBy(t, ["hour", "event_type"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby(["hour", "event_type"]).aggregate(
+        Sum("value_sum", alias_name="sum_value"),
+        Sum("value_count", alias_name="n_events"),
+    )
+    return out
+
+
+SESSION_GAP_MINUTES = 30
+
+
+def sessionize(sf_dir: str) -> rd.Dataset:
+    """Session windows per user: a new session starts when the gap from
+    the previous event exceeds SESSION_GAP_MINUTES. Emits one row per
+    session: user_id, session_idx, n_events, sum_value.
+
+    Partitioning assumption (documented per SURVEY.md custom-operator
+    rule): all events of one user fit in one group — valid while no
+    single user approaches a block in size; a hotter key would need the
+    salted-subkey treatment from pipelines/ordering.py plus a session
+    merge across salt boundaries.
+    """
+    ds = read_events(sf_dir, columns=["ts", "user_id", "event_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff().dt.total_seconds().fillna(0.0)
+        new_session = (gap > SESSION_GAP_MINUTES * 60).astype(np.int64)
+        g["session_idx"] = new_session.cumsum()
+        out = (
+            g.groupby("session_idx", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("event_id", "count"),
+                sum_value=("value", "sum"),
+                session_start=("ts", "min"),
+            )
+            .reset_index()
+        )
+        return out[["user_id", "session_idx", "n_events", "sum_value", "session_start"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -28,6 +28,7 @@ def serial_extract(table: pa.Table, config: ExtractorConfig = DEFAULT_CONFIG) ->
         "conv_id": [],
         "turn_idx": [],
         "role": [],
+        "route": [],
         "extracted_text": [],
         "text_normalized": [],
         "spans": [],
@@ -39,6 +40,7 @@ def serial_extract(table: pa.Table, config: ExtractorConfig = DEFAULT_CONFIG) ->
         out["conv_id"].append(r["conv_id"])
         out["turn_idx"].append(r["turn_idx"])
         out["role"].append(r["role"])
+        out["route"].append(ext.route)
         out["extracted_text"].append(ext.extracted_text)
         out["text_normalized"].append(normalized)
         out["spans"].append([s.to_dict() for s in ext.spans])
@@ -50,6 +52,7 @@ def serial_extract(table: pa.Table, config: ExtractorConfig = DEFAULT_CONFIG) ->
             pa.array(out["conv_id"], pa.string()),
             pa.array(out["turn_idx"], pa.int32()),
             pa.array(out["role"], pa.string()),
+            pa.array(out["route"], pa.string()),
             pa.array(out["extracted_text"], pa.string()),
             pa.array(out["text_normalized"], pa.string()),
             pa.array(out["spans"], pa.list_(SPAN_TYPE)),

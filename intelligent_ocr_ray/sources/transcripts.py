@@ -243,40 +243,29 @@ def transcripts_from_documents(sf_dir: str):
     exactly mirrors ``SQL_DERIVATION`` so DuckDB oracles can reproduce
     the input. Column-pruned read (only doc_id + text leave storage).
     """
-    import pyarrow.compute as pc
+    import numpy as np
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
+    # tiny lookup tables beat per-row string formatting
+    conv_names = np.array([f"c{i:05d}" for i in range(N_CONV_BUCKETS)])
+    roles = np.array(["user", "assistant", "tool"])
+    epoch_us = (_EPOCH - datetime.datetime(1970, 1, 1)) // datetime.timedelta(microseconds=1)
+
     def derive(batch: pa.Table) -> pa.Table:
-        doc_id = batch.column("doc_id")
-        bucket = pc.cast(pc.mod(doc_id, N_CONV_BUCKETS), pa.string())
-        conv_id = pc.binary_join_element_wise(
-            "c", pc.utf8_lpad(bucket, 5, "0"), ""
-        )
-        turn_idx = pc.cast(pc.divide(doc_id, N_CONV_BUCKETS), pa.int32())
-        rem = pc.mod(doc_id, 3)
-        role = pc.case_when(
-            pc.make_struct(pc.equal(rem, 0), pc.equal(rem, 1)),
-            "user",
-            "assistant",
-            "tool",
-        )
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         n = batch.num_rows
-        ts = pc.add(
-            pa.scalar(_EPOCH, pa.timestamp("us")).cast(pa.int64()),
-            pc.multiply(doc_id, 1_000_000),
-        ).cast(pa.timestamp("us"))
         from ..schema import TRANSCRIPT_SCHEMA
 
         return pa.Table.from_arrays(
             [
-                conv_id,
-                turn_idx,
-                role,
+                pa.array(conv_names[ids % N_CONV_BUCKETS], pa.string()),
+                pa.array((ids // N_CONV_BUCKETS).astype(np.int32), pa.int32()),
+                pa.array(roles[ids % 3], pa.string()),
                 batch.column("text"),
-                pa.array([""] * n, pa.string()),
-                ts,
+                pa.array(np.full(n, "", dtype=object), pa.string()),
+                pa.array(epoch_us + ids * 1_000_000, pa.timestamp("us")),
             ],
             schema=TRANSCRIPT_SCHEMA,
         )

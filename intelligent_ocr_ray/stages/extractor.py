@@ -146,6 +146,7 @@ class ExtractTurns:
                 spans[i] = []
 
         # --- parser routes: per-row pure functions (inherent per-payload work)
+        route_name: list[str] = [_ROUTE_NAMES[r] for r in route]
         parse_mask = (route == _R_HTML) | (route == _R_PDFISH)
         if parse_mask.any():
             idxs = np.flatnonzero(parse_mask)
@@ -157,6 +158,7 @@ class ExtractTurns:
                 status[i] = ext.status
                 error[i] = ext.error
                 normalized[i] = norm_text
+                route_name[i] = ext.route  # 'error' when the payload poisoned
 
         # --- variant dual emission over ok rows (vectorized probe,
         #     per-matching-row translate; core/pdf_processor.py:661-665)
@@ -174,6 +176,7 @@ class ExtractTurns:
                 batch.column("conv_id"),
                 batch.column("turn_idx"),
                 batch.column("role"),
+                pa.array(route_name, pa.string()),
                 pa.array(extracted, pa.string()),
                 pa.array(normalized, pa.string()),
                 pa.array(spans, pa.list_(SPAN_TYPE)),
@@ -184,6 +187,7 @@ class ExtractTurns:
                 "conv_id",
                 "turn_idx",
                 "role",
+                "route",
                 "extracted_text",
                 "text_normalized",
                 "spans",

@@ -1,0 +1,128 @@
+"""Text analysis over document/turn text: token counting, quality
+signals, language-ID heuristic, fingerprinting.
+
+These are the training-data-pipeline operators layered on top of the
+reference's scalar-function inventory (SURVEY.md §2.8). Everything is
+vectorized pyarrow.compute over zero-copy Arrow batches.
+
+SQL-PARITY NOTE: the regex/semantics here are deliberately
+RE2-compatible and mirrored 1:1 by the oracle SQL in __ray_entry__.py —
+pyarrow.compute and DuckDB both run RE2, so `count_substring_regex`
+≡ `len(regexp_extract_all(...))` and `match_substring_regex`
+≡ `regexp_matches(...)`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Tokens = maximal runs of non-ASCII-whitespace (ASCII classes keep RE2
+# and DuckDB byte-identical).
+TOKEN_PATTERN = r"[^ \t\r\n]+"
+PUNCT_PATTERN = r"[.,;:!?]"
+UPPER_PATTERN = r"[A-Z]"
+DIGIT_PATTERN = r"[0-9]"
+STOPWORD_PATTERN = r"\b(the|and|of|to|in|is|a|for|on|with)\b"
+
+# Language-ID heuristic: ordered rules over character classes /
+# stopwords. CJK = Han + Hiragana + Katakana ranges.
+CJK_PATTERN = r"[\x{4e00}-\x{9fa5}\x{3040}-\x{309f}\x{30a0}-\x{30ff}]"
+CJK_PATTERN_PY = "[一-龥぀-ゟ゠-ヿ]"
+EN_STOPWORD_PATTERN = r"\b(the|and|of|to|in|is|a)\b"
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_tokens / n_chars columns."""
+    text = batch.column(text_col)
+    return batch.append_column(
+        "n_tokens", pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64())
+    ).append_column("n_chars_measured", pc.cast(pc.utf8_length(text), pa.int64()))
+
+
+def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-scoring signals (length / punctuation / case / stopword
+    ratios — the document-quality heuristics a pretraining pipeline
+    filters on). All ratios are double divisions in a fixed op order so
+    the DuckDB oracle reproduces them bit-for-bit."""
+    text = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_PATTERN), pa.float64())
+    n_upper = pc.cast(pc.count_substring_regex(text, UPPER_PATTERN), pa.float64())
+    n_digit = pc.cast(pc.count_substring_regex(text, DIGIT_PATTERN), pa.float64())
+    n_stop = pc.cast(pc.count_substring_regex(text, STOPWORD_PATTERN), pa.float64())
+    safe = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    safe_tok = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+    out = batch
+    out = out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    out = out.append_column("punct_ratio", pc.divide(n_punct, safe))
+    out = out.append_column("upper_ratio", pc.divide(n_upper, safe))
+    out = out.append_column("digit_ratio", pc.divide(n_digit, safe))
+    out = out.append_column("stopword_ratio", pc.divide(n_stop, safe_tok))
+    return out
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append a `lang_guess` column: 'cjk' | 'en' | 'other'.
+
+    Ordered rules (first match wins):
+      1. any Han/Hiragana/Katakana char → 'cjk'
+      2. any common-English stopword (word-bounded) → 'en'
+      3. otherwise 'other'
+    """
+    text = batch.column(text_col)
+    is_cjk = np.asarray(
+        pc.match_substring_regex(text, CJK_PATTERN_PY).fill_null(False)
+    )
+    is_en = np.asarray(
+        pc.match_substring_regex(text, EN_STOPWORD_PATTERN).fill_null(False)
+    )
+    lang = np.where(is_cjk, "cjk", np.where(is_en, "en", "other"))
+    return batch.append_column("lang_guess", pa.array(lang, pa.string()))
+
+
+# --- document fingerprint (rolling hash) ---------------------------------
+
+import hashlib
+import re as _re
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+_TOKEN_RE = _re.compile(TOKEN_PATTERN)
+
+
+def token_hash(token: str) -> int:
+    """Stable 64-bit token hash (blake2b — process-independent, unlike
+    builtin hash())."""
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def rolling_fingerprint(text: str) -> int:
+    """Deterministic polynomial rolling hash mod 2^61-1 over the
+    sequence of token hashes (the streamable content-fingerprint analog
+    of the reference's MD5-sample input hash, core/checkpoint.py:104-124).
+    Order-sensitive: permuted documents fingerprint differently."""
+    h = 0
+    for tok in _TOKEN_RE.findall(text):
+        h = (h * _FP_BASE + token_hash(tok)) % _FP_MOD
+    return h
+
+
+class Fingerprint:
+    """Actor-pool stage: append `fingerprint` (int64) per row. The
+    regex is compiled once per actor; per-row work is token hashing at
+    C speed (blake2b) plus a Horner chain over ~tens of tokens."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        out = np.fromiter(
+            (rolling_fingerprint(t or "") for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return batch.append_column("fingerprint", pa.array(out, pa.int64()))

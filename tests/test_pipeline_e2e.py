@@ -27,7 +27,7 @@ def _run_pipeline(table: pa.Table) -> pa.Table:
 
 def _assert_tables_equal(got: pa.Table, want: pa.Table):
     assert got.num_rows == want.num_rows
-    for col in ["conv_id", "turn_idx", "extracted_text", "text_normalized", "status", "error"]:
+    for col in ["conv_id", "turn_idx", "route", "extracted_text", "text_normalized", "status", "error"]:
         g = got.column(col).to_pylist()
         w = want.column(col).to_pylist()
         for i, (a, b) in enumerate(zip(g, w)):
