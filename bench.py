@@ -1,0 +1,153 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N, ...}
+
+Headline = flagship per-turn extraction (turns/sec) over a
+deterministically generated transcripts table sized to the sf dir
+(cached under /tmp, generation excluded from timing).
+
+--scaling: runs the plain bench twice in FRESH processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both
+throughputs + efficiency = (thr_32/thr_8)/4 — the sandbox evidence for
+the north rule's two-cluster-size criterion (no real cluster here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# transcripts sized from the sf documents table: deterministic, cached.
+# 60 convs/doc ≈ 4M turns at sf0.1 — large enough that fixed pipeline
+# overheads (sort barrier, scheduling) amortize and the 8→32-CPU scaling
+# efficiency reflects the compute, as it would on a real cluster where
+# per-job overhead is negligible against the corpus.
+CONVS_PER_DOC = 60
+
+
+def transcripts_dir() -> str:
+    import pyarrow.parquet as pq
+
+    from intelligent_ocr_ray.sources.transcripts import cached_transcripts_dir
+
+    n_docs = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
+    return cached_transcripts_dir(n_convs=n_docs * CONVS_PER_DOC, seed=42)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    src = transcripts_dir()
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    n_rows = sum(
+        pq.read_metadata(os.path.join(src, f)).num_rows
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+
+    # warm OS page cache (untimed) so we measure compute, not first read
+    rd.read_parquet(src, columns=["conv_id"]).count()
+
+    from intelligent_ocr_ray.pipelines.extract import flagship, write_extracted
+
+    results: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    out_dir = f"/tmp/ior_bench_out/cpus{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = flagship(src, ordered=True, batch_size=8192)
+    write_extracted(ds, out_dir)
+    headline = time.perf_counter() - t0
+    results["flagship_extract"] = round(headline, 3)
+
+    # secondary pipelines (smaller weight, still timed)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ("events_hourly", "events_sessions", "pricing_summary", "exact_dedup"):
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume: aggregates are small → materializing is the consume step
+        res.to_pandas()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+
+    return {
+        "metric": "flagship_extract_sec",
+        "value": results["flagship_extract"],
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": n_rows,
+        "throughput_rows_per_s": round(n_rows / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    lo_cpus, hi_cpus = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    thr_lo = lo["throughput_rows_per_s"]
+    thr_hi = hi["throughput_rows_per_s"]
+    eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "throughput_8": thr_lo,
+        "throughput_32": thr_hi,
+        "rows": hi["rows"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

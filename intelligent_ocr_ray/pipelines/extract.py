@@ -44,18 +44,39 @@ def extract_dataset(
     *,
     batch_size: int = 4096,
     concurrency: int | tuple[int, int] | None = None,
+    use_actors: bool = False,
 ) -> rd.Dataset:
-    """Attach the unified-extractor actor pool to a transcripts Dataset."""
-    if concurrency is None:
-        concurrency = auto_concurrency()
+    """Attach the unified extractor to a transcripts Dataset.
+
+    Two physical forms, same semantics:
+    * stateless tasks (default) with a once-per-worker-process extractor
+      cache — the reference's module-global engine pattern
+      (core/parallel_ocr.py:149-173); elastic, no pool dispatch cost.
+      Right while per-worker state is cheap (variant dict + regexes).
+    * actor pool (``use_actors=True``) — the ST1 pattern for genuinely
+      heavy state (real model weights pinned per actor,
+      core/ocr_engine.py:193-310): state built once in ``__init__``.
+    """
+    if use_actors:
+        if concurrency is None:
+            concurrency = auto_concurrency()
+        return ds.map_batches(
+            ExtractTurns,
+            fn_constructor_kwargs={"config": config},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    from ..stages.extractor import extract_batch
+
     return ds.map_batches(
-        ExtractTurns,
-        fn_constructor_kwargs={"config": config},
+        extract_batch,
+        fn_kwargs={"config": config},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
     )
 
 

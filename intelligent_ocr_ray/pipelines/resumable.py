@@ -1,0 +1,158 @@
+"""Resumable flagship run: partitioned extraction with per-partition
+atomic commits, manifest lineage, and a completeness audit.
+
+Flow (engine analog of process_file_pipelined's checkpoint/resume path,
+core/pdf_processor.py:1083-1143 + 1585-1603):
+
+  read → add part=hash(conv_id)%P → anti-join vs manifest done-set
+       → unified extractor (actor pool) → groupby(part)
+       → per-partition: sort by (conv_id, turn_idx), write to _tmp dir
+       → driver: atomic rename + manifest commit per partition
+       → completeness audit (input rows == sum of committed rows)
+
+Partitioning contract: partitions are keyed by conv_id hash (UNSALTED
+here so each conversation lands wholly in one partition and the
+in-partition sort yields exact (conv_id, turn_idx) order). Size P so a
+partition fits a worker's heap (P >= 4 × max parallelism; at 100 TB
+pick P so partition ≈ 256-512 MB). Skewed mega-conversations bound a
+partition's floor size — if one conversation outgrows a partition,
+switch the wide stage to the salted keys in pipelines/ordering.py and
+merge order at read time.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import DEFAULT_CONFIG, ExtractorConfig
+from ..state.manifest import RunManifest, input_fingerprint, list_parquet_files
+from .extract import extract_dataset, read_transcripts
+from .ordering import add_partition_column, sort_within_batch
+
+
+def _filter_pending(pending: set[int]):
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("part"), value_set=pa.array(sorted(pending), pa.int32()))
+        return t.filter(mask)
+
+    return f
+
+
+def _write_partition(group: pa.Table, out_dir: str) -> pa.Table:
+    """map_groups fn: sort the partition, write it to a _tmp dir, return
+    a one-row summary (the driver does the atomic commit). Workers write
+    directly to out_dir — on a real cluster that directory must be
+    shared storage (object store/NFS), same as any distributed sink."""
+    t0 = time.perf_counter()
+    part = int(group.column("part")[0].as_py())
+    body = sort_within_batch(group.drop_columns(["part"]))
+    tmp = os.path.join(out_dir, f"_tmp-part={part:04d}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(body, os.path.join(tmp, "data.parquet"))
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int32()),
+            "rows": pa.array([body.num_rows], pa.int64()),
+            "tmp_dir": pa.array([tmp], pa.string()),
+            "seconds": pa.array([time.perf_counter() - t0], pa.float64()),
+        }
+    )
+
+
+def run_resumable(
+    input_path: str,
+    out_dir: str,
+    config: ExtractorConfig = DEFAULT_CONFIG,
+    *,
+    num_parts: int = 32,
+    batch_size: int = 4096,
+    concurrency: int | tuple[int, int] | None = None,
+) -> RunManifest:
+    """Run (or resume) the flagship extraction into a partitioned,
+    manifest-tracked output directory. Idempotent: a complete run
+    returns immediately; a partial run processes only pending
+    partitions; changed input/config fingerprints invalidate and
+    restart (core/checkpoint.py:220-225 semantics)."""
+    files = list_parquet_files(input_path)
+    in_fp = input_fingerprint(files)
+    manifest = RunManifest(out_dir, num_parts, in_fp, config.fingerprint())
+    pending = set(manifest.pending())
+    if not pending:
+        return manifest
+
+    ds = read_transcripts(input_path)
+    ds = ds.map_batches(
+        add_partition_column,
+        fn_kwargs={"num_parts": num_parts},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if len(pending) < num_parts:
+        # resume anti-join: done partitions never leave the read stage
+        ds = ds.map_batches(
+            _filter_pending(pending), batch_format="pyarrow", zero_copy_batch=True
+        )
+    extracted = extract_dataset(
+        ds, config, batch_size=batch_size, concurrency=concurrency
+    )
+    # ExtractTurns drops auxiliary columns; recompute the partition key
+    # from conv_id (same deterministic hash).
+    extracted = extracted.map_batches(
+        add_partition_column,
+        fn_kwargs={"num_parts": num_parts},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    summaries = (
+        extracted.groupby("part")
+        .map_groups(
+            functools.partial(_write_partition, out_dir=out_dir),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+
+    seen = set()
+    for s in summaries:
+        manifest.commit_partition(int(s["part"]), s["tmp_dir"], int(s["rows"]), float(s["seconds"]))
+        seen.add(int(s["part"]))
+    # partitions with no rows at all still count as done (empty)
+    for part in sorted(pending - seen):
+        tmp = os.path.join(out_dir, f"_tmp-part={part:04d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        manifest.commit_partition(part, tmp, 0, 0.0)
+    return manifest
+
+
+def audit_completeness(input_path: str, manifest: RunManifest) -> tuple[bool, int, int]:
+    """A5 analog (core/pdf_processor.py:1585-1603): every input turn
+    must appear in the committed output. Parquet metadata count — no
+    data read."""
+    rows_in = sum(
+        pq.read_metadata(p).num_rows for p in list_parquet_files(input_path)
+    )
+    rows_out = manifest.total_rows()
+    return rows_in == rows_out, rows_in, rows_out
+
+
+def read_output(out_dir: str):
+    """Read a committed (possibly partial) run's output as a Dataset."""
+    import ray.data as rd
+
+    files = [
+        os.path.join(out_dir, d, f)
+        for d in sorted(os.listdir(out_dir))
+        if d.startswith("part=")
+        for f in sorted(os.listdir(os.path.join(out_dir, d)))
+        if f.endswith(".parquet")
+    ]
+    return rd.read_parquet(files)

@@ -129,13 +129,19 @@ def generate_transcripts(
     mega_every: int = 50,
     mega_factor: int = 40,
     dup_every: int = 37,
+    conv_offset: int = 0,
 ) -> pa.Table:
-    """Generate a transcripts table (TRANSCRIPT_SCHEMA).
+    """Generate a transcripts table (TRANSCRIPT_SCHEMA) for conversations
+    [conv_offset, conv_offset + n_convs).
 
     Every ``mega_every``-th conversation has ``mega_factor``× the median
     turn count (skew fixture, FIXTURES.md `mega_conv`); every
     ``dup_every``-th conversation duplicates one `(conv_id, turn_idx)`
     row (input dirt for exact dedup, FIXTURES.md `dup_turn`).
+
+    Each conversation has its own RNG stream seeded by (seed, conv id),
+    so any shard of the conversation range generates identically
+    regardless of how generation is parallelized.
     """
     conv_ids: list[str] = []
     turn_idxs: list[int] = []
@@ -144,7 +150,7 @@ def generate_transcripts(
     tools: list[str] = []
     tss: list[datetime.datetime] = []
 
-    for c in range(n_convs):
+    for c in range(conv_offset, conv_offset + n_convs):
         # independent stream per conversation → subsets reproducible
         rng = random.Random(seed * 1_000_003 + c)
         base_turns = rng.randrange(4, 12)
@@ -185,22 +191,41 @@ def generate_transcripts(
     )
 
 
+def _write_shard(args) -> str:
+    out_dir, shard, conv_offset, n_convs, seed, kwargs = args
+    table = generate_transcripts(n_convs, seed=seed, conv_offset=conv_offset, **kwargs)
+    path = f"{out_dir}/part-{shard:05d}.parquet"
+    pq.write_table(table, path)
+    return path
+
+
 def write_transcripts(
     out_dir: str,
     n_convs: int,
     seed: int = 42,
     rows_per_file: int = 50_000,
+    convs_per_shard: int = 4_000,
     **kwargs,
 ) -> str:
     """Write the generated table as one-or-more parquet files (multiple
-    files → multiple read tasks → real parallelism at bench time)."""
+    files → multiple read tasks → real parallelism at bench time).
+    Large corpora are generated in parallel, one shard of the
+    conversation range per worker — per-conversation RNG streams make
+    the result independent of sharding."""
     os.makedirs(out_dir, exist_ok=True)
-    table = generate_transcripts(n_convs, seed=seed, **kwargs)
-    n = table.num_rows
-    part = 0
-    for lo in range(0, max(n, 1), rows_per_file):
-        pq.write_table(table.slice(lo, rows_per_file), f"{out_dir}/part-{part:05d}.parquet")
-        part += 1
+    del rows_per_file  # superseded by convs_per_shard sharding
+    shards = [
+        (out_dir, i, lo, min(convs_per_shard, n_convs - lo), seed, kwargs)
+        for i, lo in enumerate(range(0, n_convs, convs_per_shard))
+    ]
+    if len(shards) <= 1 or n_convs < 8_000:
+        for s in shards:
+            _write_shard(s)
+    else:
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(min(16, len(shards))) as pool:
+            pool.map(_write_shard, shards)
     return out_dir
 
 

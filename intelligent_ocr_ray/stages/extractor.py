@@ -44,6 +44,29 @@ from ..schema import SPAN_TYPE, STATUS_OK, STATUS_SKIPPED
 
 _BLANK_NOISE_ANCHORED = r"^[ \t\r\n\-=_~*·.•]+$"
 
+# Per-worker-process extractor cache for the stateless-task path — the
+# direct analog of the reference's module-global `_process_ocr_engine`
+# built once per pool process (core/parallel_ocr.py:149-173). Keyed by
+# config fingerprint so different configs coexist.
+_PROCESS_EXTRACTORS: dict[str, "ExtractTurns"] = {}
+
+
+def extract_batch(batch: pa.Table, config=None) -> pa.Table:
+    """Stateless-task entry point: builds (once per worker process) and
+    applies the extractor. Preferred over the actor pool when the
+    per-worker state is cheap (variant dict + regexes ≈ ms): task
+    scheduling is elastic and avoids actor-pool dispatch overhead. Use
+    the ExtractTurns class + map_batches(concurrency=...) when state is
+    genuinely heavy (real model weights)."""
+    from ..config import DEFAULT_CONFIG
+
+    cfg = config or DEFAULT_CONFIG
+    key = cfg.fingerprint()
+    ex = _PROCESS_EXTRACTORS.get(key)
+    if ex is None:
+        ex = _PROCESS_EXTRACTORS[key] = ExtractTurns(cfg)
+    return ex(batch)
+
 _R_BLANK, _R_PDFISH, _R_HTML, _R_PLAIN_LONG, _R_PLAIN = 0, 1, 2, 3, 4
 _ROUTE_NAMES = {
     _R_BLANK: ROUTE_BLANK,

@@ -1,0 +1,173 @@
+"""Manifest/resume state tests — mirrors the reference's checkpoint
+test scenarios (tests/test_checkpoint.py: progress, resume flows,
+input-hash invalidation, stale sweep), re-targeted at the partitioned
+output manifest."""
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from intelligent_ocr_ray.config import ExtractorConfig
+from intelligent_ocr_ray.pipelines.oracle import serial_extract
+from intelligent_ocr_ray.pipelines.resumable import (
+    audit_completeness,
+    read_output,
+    run_resumable,
+)
+from intelligent_ocr_ray.sources.transcripts import generate_transcripts, write_transcripts
+from intelligent_ocr_ray.state.manifest import (
+    RunManifest,
+    input_fingerprint,
+    list_parquet_files,
+    sweep_stale_runs,
+)
+
+CFG = ExtractorConfig()
+
+
+def _mk_input(tmp_path, n=30, seed=9):
+    src = str(tmp_path / "in")
+    write_transcripts(src, n, seed=seed, rows_per_file=64)
+    return src
+
+
+def test_full_run_commits_all_partitions(tmp_path):
+    src = _mk_input(tmp_path)
+    out = str(tmp_path / "out")
+    man = run_resumable(src, out, CFG, num_parts=8, concurrency=2)
+    assert man.is_complete()
+    assert man.progress() == 1.0
+    ok, rin, rout = audit_completeness(src, man)
+    assert ok, (rin, rout)
+    # no temp leftovers
+    assert not [d for d in os.listdir(out) if d.startswith("_tmp-")]
+
+
+def test_output_matches_serial_oracle(tmp_path):
+    src = _mk_input(tmp_path, n=25, seed=13)
+    out = str(tmp_path / "out")
+    run_resumable(src, out, CFG, num_parts=4, concurrency=2)
+    got = read_output(out).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = serial_extract(generate_transcripts(25, seed=13), CFG).to_pandas()
+    assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
+    assert got["status"].tolist() == want["status"].tolist()
+
+
+def test_within_partition_order_is_stable(tmp_path):
+    src = _mk_input(tmp_path)
+    out = str(tmp_path / "out")
+    run_resumable(src, out, CFG, num_parts=4, concurrency=2)
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("part="):
+            continue
+        t = pq.read_table(os.path.join(out, d))
+        keys = list(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+        assert keys == sorted(keys)
+
+
+def test_resume_processes_only_pending(tmp_path):
+    """Partial run: k of P partitions done → rerun touches only the
+    remaining P-k, final output byte-identical to a fresh full run
+    (reference test_checkpoint.py:178-210 scenario)."""
+    src = _mk_input(tmp_path, n=40, seed=21)
+    out = str(tmp_path / "out")
+    man = run_resumable(src, out, CFG, num_parts=8, concurrency=2)
+    full = read_output(out).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    # simulate a crash that lost 3 partitions
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        data = json.load(f)
+    lost = list(data["done"].keys())[:3]
+    for k in lost:
+        del data["done"][k]
+        import shutil
+
+        shutil.rmtree(os.path.join(out, f"part={int(k):04d}"))
+    with open(mpath, "w") as f:
+        json.dump(data, f)
+
+    man2 = RunManifest(out, 8, man.input_fp, man.config_fp)
+    assert len(man2.pending()) == 3
+
+    # mtimes of surviving partitions must not change on resume
+    surviving = {
+        d: os.path.getmtime(os.path.join(out, d))
+        for d in os.listdir(out)
+        if d.startswith("part=")
+    }
+    man3 = run_resumable(src, out, CFG, num_parts=8, concurrency=2)
+    assert man3.is_complete()
+    for d, mt in surviving.items():
+        assert os.path.getmtime(os.path.join(out, d)) == mt, f"{d} rewritten"
+
+    resumed = read_output(out).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert resumed.equals(full)
+
+
+def test_complete_run_is_noop(tmp_path):
+    src = _mk_input(tmp_path)
+    out = str(tmp_path / "out")
+    run_resumable(src, out, CFG, num_parts=4, concurrency=2)
+    mtimes = {d: os.path.getmtime(os.path.join(out, d)) for d in os.listdir(out)}
+    run_resumable(src, out, CFG, num_parts=4, concurrency=2)
+    for d, mt in mtimes.items():
+        if d.startswith("part="):
+            assert os.path.getmtime(os.path.join(out, d)) == mt
+
+
+def test_input_fingerprint_invalidates(tmp_path):
+    """Changed input → manifest discarded, full rerun
+    (test_checkpoint.py:239-293 / checkpoint.py:104-124 analog)."""
+    src = _mk_input(tmp_path, n=10, seed=3)
+    out = str(tmp_path / "out")
+    man = run_resumable(src, out, CFG, num_parts=4, concurrency=2)
+    assert man.is_complete()
+
+    # mutate one input file (append a row)
+    f0 = list_parquet_files(src)[0]
+    t = pq.read_table(f0)
+    pq.write_table(pa.concat_tables([t, t.slice(0, 1)]), f0)
+
+    new_fp = input_fingerprint(list_parquet_files(src))
+    assert new_fp != man.input_fp
+    man2 = RunManifest(out, 4, new_fp, CFG.fingerprint())
+    assert man2.pending() == [0, 1, 2, 3]  # everything invalidated
+
+
+def test_config_fingerprint_invalidates(tmp_path):
+    src = _mk_input(tmp_path, n=10, seed=3)
+    out = str(tmp_path / "out")
+    run_resumable(src, out, CFG, num_parts=4, concurrency=2)
+    other = ExtractorConfig(min_confidence=0.9)
+    assert other.fingerprint() != CFG.fingerprint()
+    man2 = RunManifest(out, 4, input_fingerprint(list_parquet_files(src)), other.fingerprint())
+    assert man2.pending() == [0, 1, 2, 3]
+
+
+def test_sweep_stale_runs(tmp_path):
+    root = str(tmp_path / "runs")
+    fresh, stale = os.path.join(root, "fresh"), os.path.join(root, "stale")
+    for d, age_h in [(fresh, 0.0), (stale, 48.0)]:
+        os.makedirs(d)
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump({"updated_at": time.time() - age_h * 3600}, f)
+    removed = sweep_stale_runs(root, max_age_hours=24)
+    assert removed == [stale]
+    assert os.path.isdir(fresh) and not os.path.isdir(stale)
+
+
+def test_conversations_not_split_across_partitions(tmp_path):
+    src = _mk_input(tmp_path, n=30, seed=5)
+    out = str(tmp_path / "out")
+    run_resumable(src, out, CFG, num_parts=8, concurrency=2)
+    seen: dict[str, str] = {}
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("part="):
+            continue
+        for conv in set(pq.read_table(os.path.join(out, d), columns=["conv_id"])["conv_id"].to_pylist()):
+            assert seen.setdefault(conv, d) == d
