@@ -180,6 +180,77 @@ def _q_top_parts(sf_dir: str):
     return top_parts_by_size(sf_dir)
 
 
+def _q_ngram_jaccard_dups(sf_dir: str):
+    """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.5 via inverted
+    index (df-capped), verified cell-for-cell by the DuckDB oracle."""
+    from intelligent_ocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+
+
+def _q_minhash_dups(sf_dir: str):
+    """MinHash(64)+LSH(16×4) near-dup candidates, est. Jaccard ≥ 0.5.
+    Rows-only for the driver; the pytest suite checks recall against
+    the exact n-gram Jaccard operator."""
+    from intelligent_ocr_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+
+
+def _q_simhash_dups(sf_dir: str):
+    from intelligent_ocr_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from intelligent_ocr_ray.stages.similarity import embedding_neardup
+
+    return embedding_neardup(sf_dir, threshold=0.4)
+
+
+def _q_ann_topk(sf_dir: str):
+    from intelligent_ocr_ray.stages.similarity import ann_topk
+
+    return ann_topk(sf_dir, n_queries=8, k=10)
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-k (scale path of ann_topk);
+    rows-only — recall vs exact is pytest-checked."""
+    from intelligent_ocr_ray.stages.similarity import ivf_topk
+
+    return ivf_topk(sf_dir, n_queries=8, k=10)
+
+
+def _q_conv_stats(sf_dir: str):
+    """Per-conversation counters (ProcessResult analog, A1): turn count,
+    max turn index, total chars — combiner-then-groupby."""
+    from intelligent_ocr_ray.pipelines.metrics import conv_stats
+
+    return conv_stats(transcripts_from_documents(sf_dir))
+
+
+def _q_status_profile(sf_dir: str):
+    """Run-summary counters over the flagship extraction (processed /
+    skipped / fallback per route). Route assignment is extractor
+    semantics → rows-only; per-block partial counts keep the shuffle at
+    O(blocks × keys)."""
+    from intelligent_ocr_ray.pipelines.metrics import status_profile
+
+    ds = transcripts_from_documents(sf_dir)
+    return status_profile(extract_dataset(ds, DEFAULT_CONFIG))
+
+
+def _q_multimodal_decode(sf_dir: str):
+    """Binary media columns through resize-guard + decode actor pools
+    (codec layer stubbed with deterministic fakes; Ray plumbing real).
+    Rows-only for the driver; plumbing semantics are pytest-checked."""
+    from intelligent_ocr_ray.stages.multimodal import multimodal_pipeline
+
+    return multimodal_pipeline(sf_dir)
+
+
 def _q_fingerprint(sf_dir: str):
     from intelligent_ocr_ray.stages.text_stats import Fingerprint
 
@@ -205,6 +276,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "top_parts": _q_top_parts,
         "fingerprint": _q_fingerprint,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "minhash_dups": _q_minhash_dups,
+        "simhash_dups": _q_simhash_dups,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "multimodal_decode": _q_multimodal_decode,
+        "conv_stats": _q_conv_stats,
+        "status_profile": _q_status_profile,
     }
 
 
@@ -330,5 +410,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_size, p_retailprice FROM part
             WHERE p_size >= 25
             ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+        """,
+        "conv_stats": f"""
+            WITH t AS ({SQL_DERIVATION})
+            SELECT conv_id, count(*) AS n_turns,
+                   max(turn_idx) AS max_turn_idx,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM t GROUP BY conv_id
+        """,
+        # jaccard is ONE double division of exact int64s — bit-identical
+        # across engines. df cap (2..100) mirrors max_df in
+        # stages/dedup.py:_pairs_from_gram_group.
+        "ngram_jaccard_dups": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^ \t\r\n]+') AS w FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, w, unnest(generate_series(1, greatest(len(w)-2, 0))) AS i FROM toks
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram FROM idx
+            ),
+            counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            kept AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) BETWEEN 2 AND 100),
+            g2 AS (SELECT grams.doc_id, grams.gram FROM grams JOIN kept USING (gram)),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+        """,
+        # cosine computed in float64 on both sides; emitted as
+        # round-half-even micros (np.round ≡ round_even) because raw
+        # doubles differ in the last bits between numpy matmul and
+        # DuckDB's sequential summation.
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   CAST(round_even(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                          CAST(b.embedding AS DOUBLE[])) * 1000000, 0) AS BIGINT) AS cos_micros
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id < 8),
+            d AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            s AS (SELECT query_id, neighbor_id, list_cosine_similarity(q.e, d.e) AS cos
+                  FROM q CROSS JOIN d WHERE neighbor_id <> query_id),
+            r AS (SELECT query_id, neighbor_id, cos,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id,
+                   CAST(round_even(cos * 1000000, 0) AS BIGINT) AS cos_micros, rank
+            FROM r WHERE rank <= 10
         """,
     }

@@ -1,0 +1,411 @@
+"""Near-duplicate detection + similarity search over document text and
+embeddings — the training-data-pipeline operators layered on top of the
+reference's exact-dedup semantics (its done-set identity dedup,
+core/checkpoint.py:37-41 / SURVEY.md §2.7 D1, generalized to content
+similarity).
+
+Operators (each = one `queries()` entry in __ray_entry__.py):
+
+* exact n-gram Jaccard pairs  — inverted-index (gram groupby) join;
+  exact ground truth, DuckDB-oracled.
+* MinHash + LSH               — shingle → 64-perm minhash → 16 bands × 4
+  rows → band-bucket groupby → in-bucket estimated Jaccard.
+* SimHash                     — 64-bit sign-of-weighted-bit-sum over
+  token hashes; 4 × 16-bit band bucketing; Hamming ≤ k pairs.
+* embedding cosine near-dup   — all-pairs cosine ≥ τ via broadcast
+  normalized matrix (scale path: LSH/IVF bucketing below).
+* ANN top-k                   — brute-force cosine top-k per query
+  vector (broadcast query matrix, per-batch partial top-k, tiny final
+  reduce); IVF-bucketed variant as the 100-TB path.
+
+Shuffle discipline: every operator pre-reduces inside `map_batches`
+(distinct grams per doc, per-batch partial top-k) before its one
+`groupby`; small sides (query matrix, hyperplanes, centroids) are
+broadcast via `ray.put`, never shuffled.
+
+Determinism: all hashing is blake2b / seeded-numpy — never builtin
+`hash()` (process-salted). Cross-engine float parity notes inline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text_stats import TOKEN_PATTERN
+
+import re as _re
+
+_TOKEN_RE = _re.compile(TOKEN_PATTERN)
+
+# --- shingling ------------------------------------------------------------
+
+NGRAM_N = 3
+
+
+def word_ngrams(text: str, n: int = NGRAM_N) -> set[str]:
+    """Distinct word n-grams (space-joined). Tokens = TOKEN_PATTERN runs,
+    identical to the oracle SQL's string_split semantics on this corpus."""
+    toks = _TOKEN_RE.findall(text or "")
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _hash64(data: bytes) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(data, digest_size=8).digest(), "little"
+    )
+
+
+def _gram_hashes(grams: set[str]) -> np.ndarray:
+    """Stable 64-bit hash per shingle (uint64)."""
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = _hash64(g.encode("utf-8"))
+    return out
+
+
+# --- exact n-gram Jaccard (inverted index) --------------------------------
+
+
+def explode_grams(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text", n: int = NGRAM_N
+) -> pa.Table:
+    """One row per (doc, distinct gram), carrying the doc's distinct-gram
+    count so downstream pair aggregation never needs a per-doc lookup
+    table (no broadcast of an O(corpus) side)."""
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_id: list[int] = []
+    out_gram: list[str] = []
+    out_n: list[int] = []
+    for i, t in zip(ids, texts):
+        gs = word_ngrams(t, n)
+        out_id.extend([i] * len(gs))
+        out_gram.extend(sorted(gs))
+        out_n.extend([len(gs)] * len(gs))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "gram": pa.array(out_gram, pa.string()),
+            "n_grams": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def _pairs_from_gram_group(group: pa.Table, max_df: int) -> pa.Table:
+    """All ordered pairs of docs sharing this gram. Hot grams (document
+    frequency > max_df — boilerplate shingles) are dropped, the standard
+    df-cap that bounds the quadratic blowup; the oracle SQL applies the
+    identical cap so results stay comparable."""
+    m = group.num_rows
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "na": pa.array([], pa.int64()),
+            "nb": pa.array([], pa.int64()),
+        }
+    )
+    if m < 2 or m > max_df:
+        return empty
+    order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+    ids = np.asarray(group.column("doc_id").take(order))
+    ns = np.asarray(group.column("n_grams").take(order))
+    ai, bi = np.triu_indices(m, k=1)
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[ai], pa.int64()),
+            "doc_b": pa.array(ids[bi], pa.int64()),
+            "na": pa.array(ns[ai], pa.int64()),
+            "nb": pa.array(ns[bi], pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.5, max_df: int = 100):
+    """Exact Jaccard-similar pairs via inverted index: explode distinct
+    grams → groupby(gram) pair emission → groupby(pair) count =
+    |intersection| → J = inter / (na + nb - inter) → filter ≥ τ.
+
+    jaccard is one IEEE double division of exact ints — bit-identical
+    across engines, safe for value hashing."""
+    import functools
+
+    from ray.data.aggregate import Count, Max
+
+    grams = ds.map_batches(explode_grams, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = grams.groupby("gram").map_groups(
+        functools.partial(_pairs_from_gram_group, max_df=max_df),
+        batch_format="pyarrow",
+    )
+    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="inter"),
+        Max("na", alias_name="na"),
+        Max("nb", alias_name="nb"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = pc.cast(t.column("inter"), pa.float64())
+        union = pc.cast(
+            pc.subtract(pc.add(t.column("na"), t.column("nb")), t.column("inter")),
+            pa.float64(),
+        )
+        j = pc.divide(inter, union)
+        t = t.append_column("jaccard", j)
+        return t.filter(pc.greater_equal(j, threshold)).select(
+            ["doc_a", "doc_b", "jaccard"]
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+N_PERM = 64
+BAND_R = 4
+N_BANDS = N_PERM // BAND_R  # 16
+
+
+class MinHashLSH:
+    """Actor-pool stage: per doc, a 64-permutation minhash signature and
+    its 16 LSH band keys (r=4), exploded to one row per (doc, band).
+
+    Permutations a·h+b over uint64 wraparound (seeded, built once per
+    actor). The full signature rides along on each band row so the
+    band-bucket groupby can estimate Jaccard *inside the group* without
+    a second signature join — 16× signature duplication (≈8 KB/doc)
+    traded for one fewer shuffle; at 100 TB flip to bucket→candidate-ids
+    →hash-join-signatures if payload amplification dominates."""
+
+    def __init__(self, n: int = NGRAM_N, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = (
+            rng.randint(1, 1 << 62, size=N_PERM).astype(np.uint64) * np.uint64(2)
+            + np.uint64(1)
+        )  # odd multipliers
+        self.b = rng.randint(0, 1 << 62, size=N_PERM).astype(np.uint64)
+        self.n = n
+
+    def signature(self, grams: set[str]) -> np.ndarray:
+        if not grams:
+            return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+        base = _gram_hashes(grams)  # (G,)
+        with np.errstate(over="ignore"):
+            m = self.a[:, None] * base[None, :] + self.b[:, None]  # (P, G)
+        return m.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_band: list[int] = []
+        out_key: list[int] = []
+        sigs: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            sig = self.signature(word_ngrams(t, self.n))
+            for band in range(N_BANDS):
+                chunk = sig[band * BAND_R : (band + 1) * BAND_R]
+                out_id.append(i)
+                out_band.append(band)
+                out_key.append(_hash64(chunk.tobytes()))
+                sigs.append(sig)
+        flat = np.concatenate(sigs) if sigs else np.array([], dtype=np.uint64)
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat.astype(np.int64), pa.int64()), N_PERM
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band_idx": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(np.array(out_key, dtype=np.uint64).astype(np.int64), pa.int64()),
+                "sig": sig_col,
+            }
+        )
+
+
+def _pairs_from_band_group(group: pa.Table, max_bucket: int) -> pa.Table:
+    """Candidate pairs within one LSH bucket, with estimated Jaccard =
+    fraction of agreeing signature slots. Oversized buckets (degenerate
+    boilerplate collisions) are capped — the skew guard."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    m = group.num_rows
+    if m < 2 or m > max_bucket:
+        return empty
+    order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+    ids = np.asarray(group.column("doc_id").take(order))
+    sig = np.asarray(
+        group.column("sig").take(order).combine_chunks().flatten()
+    ).reshape(m, N_PERM)
+    ai, bi = np.triu_indices(m, k=1)
+    # drop self-pairs from duplicate doc_ids upstream
+    keep = ids[ai] != ids[bi]
+    ai, bi = ai[keep], bi[keep]
+    est = (sig[ai] == sig[bi]).mean(axis=1)
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[ai], pa.int64()),
+            "doc_b": pa.array(ids[bi], pa.int64()),
+            "est_jaccard": pa.array(est, pa.float64()),
+        }
+    )
+
+
+def minhash_lsh_pairs(
+    ds, threshold: float = 0.5, *, concurrency=None, max_bucket: int = 200
+):
+    """MinHash/LSH near-dup candidates with estimated Jaccard ≥ τ.
+
+    With r=4, b=16 the LSH hit probability is 1-(1-J⁴)¹⁶: ≈0.97 at
+    J=0.7, ≈1-1e-10 at J=0.95 — high recall for the near-dup regime;
+    exactness is ngram_jaccard_pairs' job."""
+    import functools
+
+    from ray.data.aggregate import Max
+
+    bands = ds.map_batches(
+        MinHashLSH,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency if concurrency is not None else 2,
+        num_cpus=1,
+    )
+    cand = bands.groupby(["band_idx", "band_key"]).map_groups(
+        functools.partial(_pairs_from_band_group, max_bucket=max_bucket),
+        batch_format="pyarrow",
+    )
+    # a pair surfaces once per colliding band → dedup; est is identical
+    # every time (function of the two full signatures), Max = pick-any
+    agg = cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
+
+    def thresh(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("est_jaccard"), threshold))
+
+    return agg.map_batches(thresh, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- SimHash --------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 × 16-bit bands → guaranteed hit for hamming ≤ 3
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over token blake2b hashes, weighted by token
+    frequency: bit j of the result = sign of Σ_tokens w·(2·bit_j(h)-1)."""
+    toks = _TOKEN_RE.findall(text or "")
+    if not toks:
+        return 0
+    uniq: dict[str, int] = {}
+    for t in toks:
+        uniq[t] = uniq.get(t, 0) + 1
+    hs = np.array([_hash64(t.encode("utf-8")) for t in uniq], dtype=np.uint64)
+    w = np.array(list(uniq.values()), dtype=np.int64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    acc = ((2 * bits - 1) * w[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for j in range(64):
+        if acc[j] > 0:
+            out |= np.uint64(1) << np.uint64(j)
+    return int(out)
+
+
+class SimHash:
+    """Task/actor stage: append a `simhash` (int64 bit-pattern) column."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        vals = np.fromiter(
+            (simhash64(t) for t in texts), dtype=np.uint64, count=len(texts)
+        )
+        return batch.append_column(
+            "simhash", pa.array(vals.astype(np.int64), pa.int64())
+        )
+
+
+def _explode_simhash_bands(batch: pa.Table) -> pa.Table:
+    ids = np.asarray(batch.column("doc_id"))
+    sh = np.asarray(batch.column("simhash")).astype(np.uint64)
+    n = len(ids)
+    out_id = np.repeat(ids, SIMHASH_BANDS)
+    out_band = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int32), n)
+    shifts = (np.arange(SIMHASH_BANDS, dtype=np.uint64) * np.uint64(16))
+    keys = ((sh[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)).reshape(-1)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band_idx": pa.array(out_band, pa.int32()),
+            "band_key": pa.array(keys.astype(np.int64), pa.int64()),
+            "simhash": pa.array(np.repeat(sh, SIMHASH_BANDS).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _pairs_from_simhash_group(group: pa.Table, max_hamming: int, max_bucket: int) -> pa.Table:
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+    m = group.num_rows
+    if m < 2 or m > max_bucket:
+        return empty
+    order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+    ids = np.asarray(group.column("doc_id").take(order))
+    sh = np.asarray(group.column("simhash").take(order)).astype(np.uint64)
+    ai, bi = np.triu_indices(m, k=1)
+    keep = ids[ai] != ids[bi]
+    ai, bi = ai[keep], bi[keep]
+    x = sh[ai] ^ sh[bi]
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(
+        np.int64
+    )
+    sel = ham <= max_hamming
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[ai][sel], pa.int64()),
+            "doc_b": pa.array(ids[bi][sel], pa.int64()),
+            "hamming": pa.array(ham[sel], pa.int64()),
+        }
+    )
+
+
+def simhash_pairs(ds, max_hamming: int = 3, *, max_bucket: int = 2000):
+    """SimHash near-dup pairs with Hamming distance ≤ k (default 3).
+
+    4 × 16-bit band bucketing: any pair within Hamming ≤ 3 agrees
+    exactly on ≥ 1 band (pigeonhole) → recall 1.0 for k ≤ 3 by
+    construction; buckets keyed (band_idx, band_key) groupby."""
+    import functools
+
+    from ray.data.aggregate import Min
+
+    sim = ds.map_batches(SimHash(), batch_format="pyarrow", zero_copy_batch=True)
+    bands = sim.map_batches(
+        _explode_simhash_bands, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand = bands.groupby(["band_idx", "band_key"]).map_groups(
+        functools.partial(
+            _pairs_from_simhash_group, max_hamming=max_hamming, max_bucket=max_bucket
+        ),
+        batch_format="pyarrow",
+    )
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

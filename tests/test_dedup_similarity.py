@@ -1,0 +1,189 @@
+"""Near-dedup + similarity-search operators vs independent serial
+oracles (SURVEY.md §5 model: every distributed operator is checked
+against a brute-force single-process computation on small data)."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from intelligent_ocr_ray.stages.dedup import (
+    MinHashLSH,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+    word_ngrams,
+)
+from intelligent_ocr_ray.stages.similarity import (
+    ann_topk,
+    embedding_neardup,
+    ivf_topk,
+    load_matrix,
+)
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+
+
+def _docs_ds():
+    return rd.read_parquet(DOCS, columns=["doc_id", "text"])
+
+
+def _brute_jaccard(threshold):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    gs = [
+        (d, word_ngrams(x))
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    ]
+    out = {}
+    for (a, ga), (b, gb) in itertools.combinations(gs, 2):
+        if not ga or not gb:
+            continue
+        j = len(ga & gb) / len(ga | gb)
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+# --- unit: shingling / signatures ----------------------------------------
+
+
+def test_word_ngrams():
+    assert word_ngrams("a b c d") == {"a b c", "b c d"}
+    assert word_ngrams("a b") == set()
+    assert word_ngrams("") == set()
+    assert word_ngrams(None) == set()
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHashLSH()
+    a = word_ngrams(" ".join(f"w{i}" for i in range(200)))
+    b = word_ngrams(" ".join(f"w{i}" for i in range(20, 220)))
+    true_j = len(a & b) / len(a | b)
+    est = (mh.signature(a) == mh.signature(b)).mean()
+    assert abs(est - true_j) < 0.15  # 64 permutations → ±~1/8
+
+
+def test_minhash_identical_and_disjoint():
+    mh = MinHashLSH()
+    a = word_ngrams("x y z w v u t s r q p")
+    assert (mh.signature(a) == mh.signature(set(a))).all()
+    b = word_ngrams("1 2 3 4 5 6 7 8 9 10 11")
+    assert (mh.signature(a) == mh.signature(b)).mean() < 0.2
+
+
+def test_simhash_properties():
+    s1 = simhash64("the quick brown fox jumps over the lazy dog " * 5)
+    s2 = simhash64("the quick brown fox jumps over the lazy dog " * 5)
+    assert s1 == s2  # deterministic
+    s3 = simhash64("the quick brown fox jumps over the lazy cat " * 5)
+    ham_near = bin(s1 ^ s3).count("1")
+    s4 = simhash64("completely different text about astrophysics and galaxies")
+    ham_far = bin(s1 ^ s4).count("1")
+    assert ham_near < ham_far
+    assert simhash64("") == 0
+
+
+# --- e2e vs brute force ---------------------------------------------------
+
+
+def test_ngram_jaccard_pairs_exact():
+    got = ngram_jaccard_pairs(_docs_ds(), threshold=0.5).to_pandas()
+    got_map = {
+        (a, b): j for a, b, j in zip(got.doc_a, got.doc_b, got.jaccard)
+    }
+    want = _brute_jaccard(0.5)
+    # df cap can only *drop* pairs built from boilerplate grams; on this
+    # corpus no gram exceeds df=100, so the result is exactly brute force
+    assert got_map.keys() == want.keys()
+    for k, j in want.items():
+        assert got_map[k] == pytest.approx(j, abs=1e-12)
+
+
+def test_minhash_lsh_recall_and_precision():
+    got = minhash_lsh_pairs(_docs_ds(), threshold=0.5).to_pandas()
+    got_pairs = set(zip(got.doc_a, got.doc_b))
+    exact_hi = {k for k, j in _brute_jaccard(0.0).items() if j >= 0.8}
+    # r=4,b=16 → hit prob ≈1 at J≥0.8: full recall expected here
+    assert exact_hi <= got_pairs
+    # estimates should be near truth for the pairs both agree on
+    truth = _brute_jaccard(0.3)
+    for (a, b), est in zip(got_pairs, got.est_jaccard):
+        if (a, b) in truth:
+            assert abs(est - truth[(a, b)]) < 0.25
+
+
+def test_simhash_pairs_vs_brute_force():
+    import pyarrow.parquet as pq
+
+    got = simhash_pairs(_docs_ds(), max_hamming=3).to_pandas()
+    got_set = {(a, b, h) for a, b, h in zip(got.doc_a, got.doc_b, got.hamming)}
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    sh = {
+        d: simhash64(x)
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        h = bin(sh[a] ^ sh[b]).count("1")
+        if h <= 3:
+            want.add((a, b, h))
+    # banding guarantees recall 1.0 for hamming ≤ 3 (pigeonhole over 4 bands)
+    assert got_set == want
+
+
+def test_embedding_neardup_vs_brute_force():
+    got = embedding_neardup(SF, threshold=0.4).to_pandas()
+    ids, mat = load_matrix(f"{SF}/embeddings.parquet")
+    sims = mat @ mat.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    sel = sims[iu, ju] >= 0.4
+    want = {
+        (int(ids[i]), int(ids[j])): int(np.round(sims[i, j] * 1e6))
+        for i, j in zip(iu[sel], ju[sel])
+    }
+    got_map = {
+        (a, b): m for a, b, m in zip(got.vec_id_a, got.vec_id_b, got.cos_micros)
+    }
+    assert got_map == want
+
+
+def test_ann_topk_vs_brute_force():
+    got = ann_topk(SF, n_queries=4, k=5).to_pandas()
+    ids, mat = load_matrix(f"{SF}/embeddings.parquet")
+    for q in range(4):
+        qv = mat[ids == q][0]
+        sims = mat @ qv
+        mask = ids != q
+        cand = sorted(
+            zip(-sims[mask], ids[mask])
+        )[:5]
+        want = [int(i) for _, i in cand]
+        g = got[got.query_id == q].sort_values("rank")
+        assert list(g.neighbor_id) == want
+        assert list(g["rank"]) == [1, 2, 3, 4, 5]
+
+
+def test_ivf_recall():
+    exact = ann_topk(SF, n_queries=8, k=10).to_pandas()
+    approx = ivf_topk(SF, n_queries=8, k=10).to_pandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    # weakly-clustered synthetic vectors are an adversarial case for
+    # IVF; nprobe=6/16 still has to find most true neighbors
+    assert recall >= 0.5
+    assert len(approx) == len(exact)
+
+
+def test_dedup_pair_tables_are_canonical():
+    got = ngram_jaccard_pairs(_docs_ds(), threshold=0.5).to_pandas()
+    assert (got.doc_a < got.doc_b).all()
+    mh = minhash_lsh_pairs(_docs_ds(), threshold=0.5).to_pandas()
+    assert (mh.doc_a < mh.doc_b).all()
+    assert not mh.duplicated(["doc_a", "doc_b"]).any()

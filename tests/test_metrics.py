@@ -1,0 +1,72 @@
+"""Metrics / lineage aggregates vs serial oracles."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from intelligent_ocr_ray.pipelines.metrics import (
+    completeness_by_conv,
+    conv_stats,
+    status_profile,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _transcripts():
+    from intelligent_ocr_ray.sources.transcripts import transcripts_from_documents
+
+    return transcripts_from_documents(SF)
+
+
+def test_conv_stats_vs_pandas():
+    got = conv_stats(_transcripts()).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    raw = _transcripts().to_pandas()
+    raw["turn_chars"] = raw.text.str.len()
+    want = (
+        raw.groupby("conv_id")
+        .agg(n_turns=("turn_idx", "size"), max_turn_idx=("turn_idx", "max"),
+             sum_chars=("turn_chars", "sum"))
+        .reset_index()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"sum_chars": "int64"}), want.astype({"sum_chars": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_status_profile_sums_to_input():
+    from intelligent_ocr_ray.config import DEFAULT_CONFIG
+    from intelligent_ocr_ray.pipelines.extract import extract_dataset
+
+    ds = extract_dataset(_transcripts(), DEFAULT_CONFIG)
+    prof = status_profile(ds).to_pandas()
+    assert prof.n.sum() == 500  # every input row lands in exactly one bucket
+    assert set(prof.status) <= {"ok", "skipped", "fallback"}
+
+
+def test_completeness_by_conv_detects_loss():
+    t_in = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "b", "b", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0, 1, 2], pa.int32()),
+        }
+    )
+    # output lost one turn of conversation b
+    t_out = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "b", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+        }
+    )
+    bad = completeness_by_conv(
+        rd.from_arrow(t_in), rd.from_arrow(t_out)
+    ).to_pandas()
+    assert list(bad.conv_id) == ["b"]
+    assert list(bad.n_in) == [3] and list(bad.n_out) == [2]
+
+    ok = completeness_by_conv(rd.from_arrow(t_in), rd.from_arrow(t_in)).to_pandas()
+    assert len(ok) == 0

@@ -1,0 +1,98 @@
+"""Multimodal plumbing tests: schema, actor signature, decode/resize/
+frame-sample semantics, error-not-drop contract. Codecs are the
+deterministic fakes — the Ray-side layout is what's under test."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from intelligent_ocr_ray.stages.multimodal import (
+    DecodeImage,
+    ResizeImage,
+    SampleFrames,
+    fake_image_bytes,
+    fake_video_bytes,
+    multimodal_pipeline,
+    synthesize_media_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fake_payloads_deterministic():
+    assert fake_image_bytes(7) == fake_image_bytes(7)
+    assert fake_image_bytes(7) != fake_image_bytes(8)
+    assert fake_image_bytes(7)[:4] == b"FIMG"
+
+
+def test_synthesize_schema():
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64())})
+    out = synthesize_media_batch(t)
+    assert out.schema.field("image").type == pa.binary()
+    assert out.column("audio").null_count == 2  # only ids 0, 3 → %3==0
+    assert out.column("video").null_count == 3  # only id 0 → %7==0
+
+
+def test_decode_image_features():
+    t = synthesize_media_batch(pa.table({"doc_id": pa.array([5], pa.int64())}))
+    out = DecodeImage()(t)
+    w, h, c = struct.unpack("<HHB", fake_image_bytes(5)[4:9])
+    px = np.frombuffer(zlib.decompress(fake_image_bytes(5)[9:]), dtype=np.uint8)
+    assert out.column("image_width")[0].as_py() == w
+    assert out.column("image_height")[0].as_py() == h
+    assert out.column("image_mean")[0].as_py() == pytest.approx(px.mean())
+    assert out.column("image_status")[0].as_py() == "ok"
+
+
+def test_decode_error_not_drop():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "image": pa.array([b"\x89PNG\r\n...", None, fake_image_bytes(2)], pa.binary()),
+        }
+    )
+    out = DecodeImage()(t)
+    statuses = out.column("image_status").to_pylist()
+    assert out.num_rows == 3  # never drop a row
+    assert statuses[0].startswith("error: NotImplementedError")
+    assert statuses[1] == "null"
+    assert statuses[2] == "ok"
+
+
+def test_resize_caps_max_side():
+    t = synthesize_media_batch(pa.table({"doc_id": pa.array(list(range(20)), pa.int64())}))
+    out = ResizeImage(max_side=16)(t)
+    dec = DecodeImage()(out)
+    ws = dec.column("image_width").to_pylist()
+    hs = dec.column("image_height").to_pylist()
+    scales = dec.column("resize_scale").to_pylist()
+    assert all(max(w, h) <= 16 for w, h in zip(ws, hs))
+    assert any(s < 1.0 for s in scales)  # some inputs were larger
+
+
+def test_sample_frames():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "video": pa.array([fake_video_bytes(0)], pa.binary()),
+        }
+    )
+    out = SampleFrames(stride=4)(t)
+    f, w, h = struct.unpack("<HHH", fake_video_bytes(0)[4:10])
+    expect = (f + 3) // 4
+    assert out.column("n_frames_sampled")[0].as_py() == expect
+    assert len(out.column("frame_means")[0].as_py()) == expect
+
+
+def test_multimodal_pipeline_e2e():
+    df = multimodal_pipeline(SF).to_pandas()
+    assert len(df) == 500
+    assert (df.image_status == "ok").all()
+    assert (df[["image_width", "image_height"]].max(axis=1) <= 32).all()
+    # deterministic across runs
+    df2 = multimodal_pipeline(SF).to_pandas()
+    pd_sorted = lambda d: d.sort_values("doc_id").reset_index(drop=True)
+    assert pd_sorted(df).equals(pd_sorted(df2))
