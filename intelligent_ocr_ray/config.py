@@ -53,6 +53,11 @@ class ExtractorConfig:
     # truncated and the truncation recorded (analog of the adaptive-zoom
     # oversized-image guard, core/pdf_processor.py:796-836).
     max_payload_chars: int = 1_000_000
+    # Lenient layout parsing: skip malformed layout lines instead of
+    # failing the whole payload — the degraded-quality profile of the
+    # R3 ladder (reference: retry with fast mode / DPI−100,
+    # desktop/workers.py:290-307: lower quality, higher success rate).
+    lenient_layout: bool = False
 
     def fingerprint(self) -> str:
         """Stable hash of the semantic knobs, for manifest invalidation."""

@@ -178,7 +178,13 @@ _ANY_TAG_RE = re.compile(r"<[^>]*>")
 
 
 def _visible_text(fragment: str) -> str:
-    return collapse_ws(_html.unescape(_ANY_TAG_RE.sub("", fragment)))
+    # cheap substring guards: most fragments have no tags/entities, and
+    # skipping the regex/unescape passes halves the per-block cost
+    if "<" in fragment:
+        fragment = _ANY_TAG_RE.sub("", fragment)
+    if "&" in fragment:
+        fragment = _html.unescape(fragment)
+    return collapse_ws(fragment)
 
 
 def extract_html(text: str, config: ExtractorConfig) -> Extraction:
@@ -203,8 +209,10 @@ def extract_html(text: str, config: ExtractorConfig) -> Extraction:
         visible = _visible_text(segment)
         if not visible:
             continue
-        anchor_chars = sum(
-            len(_visible_text(m)) for m in _ANCHOR_RE.findall(segment)
+        anchor_chars = (
+            sum(len(_visible_text(m)) for m in _ANCHOR_RE.findall(segment))
+            if "<a" in segment
+            else 0
         )
         link_density = anchor_chars / len(visible)
         score = 1.0 - link_density
@@ -270,6 +278,8 @@ def extract_pdfish(text: str, config: ExtractorConfig) -> Extraction:
             continue
         m = _LAYOUT_LINE_RE.match(line)
         if m is None:
+            if config.lenient_layout:
+                continue  # degraded profile: lose the line, save the turn
             raise ExtractError(f"malformed layout line {i + 1}: {line[:80]!r}")
         x0, y0, x1, y1, conf = (float(m.group(k)) for k in range(1, 6))
         raw_spans.append(_LayoutSpan(x0, y0, x1, y1, conf, m.group(6), i))
@@ -344,6 +354,13 @@ def extract_turn(
         try:
             result = extract_once(text, config)
             break
+        except ExtractError as e:
+            # deterministic parse failure: retrying the same pure
+            # function cannot succeed — go straight to fallback (the
+            # reference retries because its OCR engine is stochastic,
+            # core/pdf_processor.py:1195-1212; ours is not)
+            last_err = e
+            break
         except Exception as e:  # noqa: BLE001 — the ladder must catch everything
             last_err = e
     if result is None:
@@ -362,4 +379,48 @@ def extract_turn(
         candidate = variant_mapper.normalize(result.extracted_text)
         if candidate != result.extracted_text:
             normalized = candidate
+    return result, normalized
+
+
+# Default degradation ladder (R3 analog): progressively more lenient /
+# lower-fidelity profiles. The reference reruns whole *tasks* with
+# degraded profiles (desktop/workers.py:290-307: single-process, fast
+# mode, DPI−100); laddering per ROW inside the same pass is the Ray
+# equivalent — no second scan over the corpus, only failed rows pay.
+def degraded_ladder(base: "ExtractorConfig") -> tuple["ExtractorConfig", ...]:
+    import dataclasses
+
+    return (
+        dataclasses.replace(base, lenient_layout=True),
+        dataclasses.replace(
+            base, lenient_layout=True, min_confidence=0.0, enable_variants=False
+        ),
+    )
+
+
+def extract_turn_ladder(
+    text: str | None,
+    config: ExtractorConfig,
+    ladder: tuple[ExtractorConfig, ...],
+    variant_mapper: VariantMapper | None = None,
+) -> tuple[Extraction, str | None]:
+    """extract_turn, then on fallback walk the degraded ladder. A rung
+    that succeeds emits status='ok' with the recovery recorded in
+    ``error`` (``degraded[k]: <original error>``) so lineage shows which
+    rows took a lower-fidelity profile; if every rung fails the normal
+    fallback row is returned."""
+    result, normalized = extract_turn(text, config, variant_mapper)
+    if result.status != STATUS_FALLBACK:
+        return result, normalized
+    original_err = result.error
+    for k, cfg in enumerate(ladder):
+        try:
+            r = extract_once(text, cfg)
+        except Exception:  # noqa: BLE001 — rung failed, try the next
+            continue
+        r = Extraction(
+            r.route, r.extracted_text, r.spans, r.status,
+            f"degraded[{k}]: {original_err}",
+        )
+        return r, None
     return result, normalized

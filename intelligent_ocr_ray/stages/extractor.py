@@ -48,10 +48,10 @@ _BLANK_NOISE_ANCHORED = r"^[ \t\r\n\-=_~*·.•]+$"
 # direct analog of the reference's module-global `_process_ocr_engine`
 # built once per pool process (core/parallel_ocr.py:149-173). Keyed by
 # config fingerprint so different configs coexist.
-_PROCESS_EXTRACTORS: dict[str, "ExtractTurns"] = {}
+_PROCESS_EXTRACTORS: dict[tuple[str, bool], "ExtractTurns"] = {}
 
 
-def extract_batch(batch: pa.Table, config=None) -> pa.Table:
+def extract_batch(batch: pa.Table, config=None, use_ladder: bool = False) -> pa.Table:
     """Stateless-task entry point: builds (once per worker process) and
     applies the extractor. Preferred over the actor pool when the
     per-worker state is cheap (variant dict + regexes ≈ ms): task
@@ -61,10 +61,10 @@ def extract_batch(batch: pa.Table, config=None) -> pa.Table:
     from ..config import DEFAULT_CONFIG
 
     cfg = config or DEFAULT_CONFIG
-    key = cfg.fingerprint()
+    key = (cfg.fingerprint(), use_ladder)
     ex = _PROCESS_EXTRACTORS.get(key)
     if ex is None:
-        ex = _PROCESS_EXTRACTORS[key] = ExtractTurns(cfg)
+        ex = _PROCESS_EXTRACTORS[key] = ExtractTurns(cfg, use_ladder=use_ladder)
     return ex(batch)
 
 _R_BLANK, _R_PDFISH, _R_HTML, _R_PLAIN_LONG, _R_PLAIN = 0, 1, 2, 3, 4
@@ -80,8 +80,20 @@ _ROUTE_NAMES = {
 class ExtractTurns:
     """Callable-class stage: route → extract → normalize → dual-emit."""
 
-    def __init__(self, config: ExtractorConfig = DEFAULT_CONFIG):
+    def __init__(
+        self,
+        config: ExtractorConfig = DEFAULT_CONFIG,
+        use_ladder: bool = False,
+    ):
         self.config = config
+        # R3 degradation ladder, applied per-row on fallback (see
+        # functions.extract.degraded_ladder); built once per actor.
+        if use_ladder:
+            from ..functions.extract import degraded_ladder
+
+            self.ladder: tuple[ExtractorConfig, ...] = degraded_ladder(config)
+        else:
+            self.ladder = ()
         self.vm = VariantMapper(config.variants_path) if config.enable_variants else None
         if self.vm is not None and self.vm.mapping:
             # vectorized "does this row contain any variant char" probe —
@@ -111,100 +123,215 @@ class ExtractTurns:
         route[np.asarray(blank)] = _R_BLANK
         return route
 
+    # -- Arrow-native per-class builders ------------------------------------
+    #
+    # The batch is split by route class; each class builds its columns as
+    # Arrow arrays at C speed (no Python row objects for the plain /
+    # passthrough / blank majority); a single permutation `take` restores
+    # input row order at the end. Only html/pdfish payloads — inherently
+    # per-payload parse work, like batched model inference — run Python
+    # per row. Parity with the serial per-row oracle (functions.extract)
+    # is pinned by tests/test_extractor_parity.py.
+
+    @staticmethod
+    def _spans_single(texts: pa.Array, kind: str, present: np.ndarray) -> pa.Array:
+        """list<SPAN_TYPE> with one span per row where ``present`` else
+        empty; span text aliases the extracted-text buffer (zero-copy)."""
+        pb = present.astype(bool)
+        vals = texts.filter(pa.array(pb)) if not pb.all() else texts
+        k = len(vals)
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(np.zeros(k, np.int32), pa.int32()),
+                pa.nulls(k, pa.string()).fill_null(kind),
+                vals,
+                pa.array(np.ones(k, np.float64), pa.float64()),
+                pa.array(np.zeros(k, bool), pa.bool_()),
+            ],
+            fields=list(SPAN_TYPE),
+        )
+        offsets = np.concatenate([[0], np.cumsum(present, dtype=np.int32)])
+        return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+
+    @staticmethod
+    def _const(value: str, k: int) -> pa.Array:
+        return pa.nulls(k, pa.string()).fill_null(value)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        # upstream kernels may widen utf8 → large_utf8 (e.g. the polars
+        # sort path); pin the canonical narrow types so span-struct
+        # children and cross-path unions stay type-stable
+        for name in ("conv_id", "role", "text"):
+            i = batch.schema.get_field_index(name)
+            if i >= 0 and batch.column(name).type == pa.large_string():
+                batch = batch.set_column(
+                    i, name, batch.column(name).cast(pa.string())
+                )
         text = batch.column("text").combine_chunks()
         route = self._route(text)
 
-        extracted: list[str | None] = [None] * n
-        normalized: list[str | None] = [None] * n
-        spans: list[list[dict] | None] = [None] * n
-        status: list[str] = [STATUS_OK] * n
-        error: list[str | None] = [None] * n
+        idx_parts: list[np.ndarray] = []
+        col_parts: dict[str, list[pa.Array]] = {
+            "route": [], "extracted_text": [], "spans": [], "status": [], "error": []
+        }
 
-        # --- vectorized plain path: NFKC(strip) for the short-plain rows.
-        # NOTE: pyarrow's utf8proc NFKC differs from Python's unicodedata
-        # on recomposition (e.g. ㌀ → ア + ハ + U+309A instead of アパート),
-        # and the determinism contract is pinned to unicodedata. So: Arrow
-        # trims + detects ASCII (NFKC is identity on ASCII → vectorized
-        # fast path); only non-ASCII rows pay the per-row normalize.
-        plain_mask = route == _R_PLAIN
-        if plain_mask.any():
-            idxs = np.flatnonzero(plain_mask)
-            sub = pc.utf8_trim_whitespace(text.take(pa.array(idxs)))
+        def emit(idxs, route_arr, ext_arr, spans_arr, status_arr, err_arr):
+            idx_parts.append(idxs)
+            col_parts["route"].append(route_arr)
+            col_parts["extracted_text"].append(ext_arr)
+            col_parts["spans"].append(spans_arr)
+            col_parts["status"].append(status_arr)
+            col_parts["error"].append(err_arr)
+
+        # --- blank rows: empty text, skipped, no spans
+        blank_idx = np.flatnonzero(route == _R_BLANK)
+        if len(blank_idx):
+            k = len(blank_idx)
+            empty = self._const("", k)
+            emit(
+                blank_idx,
+                self._const(ROUTE_BLANK, k),
+                empty,
+                self._spans_single(empty, ROUTE_PLAIN, np.zeros(k, np.int64)),
+                self._const(STATUS_SKIPPED, k),
+                pa.nulls(k, pa.string()),
+            )
+
+        # --- long-plain passthrough: payload emitted unchanged
+        long_idx = np.flatnonzero(route == _R_PLAIN_LONG)
+        if len(long_idx):
+            k = len(long_idx)
+            ext = text.take(pa.array(long_idx))
+            emit(
+                long_idx,
+                self._const(ROUTE_PLAIN_LONG, k),
+                ext,
+                self._spans_single(ext, ROUTE_PLAIN_LONG, np.ones(k, np.int64)),
+                self._const(STATUS_OK, k),
+                pa.nulls(k, pa.string()),
+            )
+
+        # --- short plain: NFKC(strip). pyarrow's utf8proc NFKC differs
+        # from Python's unicodedata on recomposition (e.g. ㌀ → ア + パ
+        # decomposed instead of アパート) and the determinism contract is
+        # pinned to unicodedata — so Arrow trims, ASCII rows (NFKC =
+        # identity) stay vectorized, only non-ASCII rows pay Python.
+        plain_idx = np.flatnonzero(route == _R_PLAIN)
+        if len(plain_idx):
+            k = len(plain_idx)
+            sub = pc.utf8_trim_whitespace(text.take(pa.array(plain_idx)))
             is_ascii = np.asarray(pc.string_is_ascii(sub))
-            norm_py = sub.to_pylist()
-            for j in np.flatnonzero(~is_ascii):
-                norm_py[j] = unicodedata.normalize("NFKC", norm_py[j])
-            for j, i in enumerate(idxs):
-                s = norm_py[j]
-                if not s:
-                    status[i] = STATUS_SKIPPED
-                    extracted[i] = ""
-                    spans[i] = []
-                else:
-                    extracted[i] = s
-                    spans[i] = [
-                        {"span_idx": 0, "kind": ROUTE_PLAIN, "text": s, "score": 1.0, "vertical": False}
-                    ]
-
-        # --- vectorized passthrough: long plain text emitted unchanged
-        long_mask = route == _R_PLAIN_LONG
-        if long_mask.any():
-            idxs = np.flatnonzero(long_mask)
-            sub_py = text.take(pa.array(idxs)).to_pylist()
-            for j, i in enumerate(idxs):
-                s = sub_py[j]
-                extracted[i] = s
-                spans[i] = [
-                    {"span_idx": 0, "kind": ROUTE_PLAIN_LONG, "text": s, "score": 1.0, "vertical": False}
+            if not is_ascii.all():
+                nonascii_rel = np.flatnonzero(~is_ascii)
+                fixed = [
+                    unicodedata.normalize("NFKC", v)
+                    for v in sub.take(pa.array(nonascii_rel)).to_pylist()
                 ]
+                # scatter the normalized minority back (strings lack
+                # replace_with_mask — rebuild via class-split + take)
+                order = np.concatenate([np.flatnonzero(is_ascii), nonascii_rel])
+                merged = pa.concat_arrays(
+                    [sub.filter(pa.array(is_ascii)), pa.array(fixed, pa.string())]
+                )
+                inv = np.empty(k, np.int64)
+                inv[order] = np.arange(k)
+                sub = merged.take(pa.array(inv))
+            nonempty = np.asarray(pc.not_equal(sub, "")).astype(np.int64)
+            status_arr = (
+                self._const(STATUS_OK, k)
+                if nonempty.all()
+                else pa.array(
+                    np.where(nonempty.astype(bool), STATUS_OK, STATUS_SKIPPED)
+                ).cast(pa.string())
+            )
+            emit(
+                plain_idx,
+                self._const(ROUTE_PLAIN, k),
+                sub,
+                self._spans_single(sub, ROUTE_PLAIN, nonempty),
+                status_arr,
+                pa.nulls(k, pa.string()),
+            )
 
-        # --- blank rows
-        blank_mask = route == _R_BLANK
-        if blank_mask.any():
-            for i in np.flatnonzero(blank_mask):
-                status[i] = STATUS_SKIPPED
-                extracted[i] = ""
-                spans[i] = []
+        # --- parser routes: per-row pure functions (inherent per-payload
+        # work, like batched model inference)
+        parse_idx = np.flatnonzero((route == _R_HTML) | (route == _R_PDFISH))
+        if len(parse_idx):
+            sub_py = text.take(pa.array(parse_idx)).to_pylist()
+            if self.ladder:
+                from ..functions.extract import extract_turn_ladder
 
-        # --- parser routes: per-row pure functions (inherent per-payload work)
-        route_name: list[str] = [_ROUTE_NAMES[r] for r in route]
-        parse_mask = (route == _R_HTML) | (route == _R_PDFISH)
-        if parse_mask.any():
-            idxs = np.flatnonzero(parse_mask)
-            sub_py = text.take(pa.array(idxs)).to_pylist()
-            for j, i in enumerate(idxs):
-                ext, norm_text = extract_turn(sub_py[j], self.config, None)
-                extracted[i] = ext.extracted_text
-                spans[i] = [s.to_dict() for s in ext.spans]
-                status[i] = ext.status
-                error[i] = ext.error
-                normalized[i] = norm_text
-                route_name[i] = ext.route  # 'error' when the payload poisoned
+                def _do(payload):
+                    return extract_turn_ladder(payload, self.config, self.ladder, None)
+
+            else:
+
+                def _do(payload):
+                    return extract_turn(payload, self.config, None)
+
+            p_route: list[str] = []
+            p_ext: list[str] = []
+            p_spans: list[list[dict]] = []
+            p_status: list[str] = []
+            p_err: list[str | None] = []
+            for payload in sub_py:
+                ext, _ = _do(payload)
+                p_route.append(ext.route)  # 'error' when the payload poisoned
+                p_ext.append(ext.extracted_text)
+                p_spans.append([s.to_dict() for s in ext.spans])
+                p_status.append(ext.status)
+                p_err.append(ext.error)
+            emit(
+                parse_idx,
+                pa.array(p_route, pa.string()),
+                pa.array(p_ext, pa.string()),
+                pa.array(p_spans, pa.list_(SPAN_TYPE)),
+                pa.array(p_status, pa.string()),
+                pa.array(p_err, pa.string()),
+            )
+
+        # --- assemble: one permutation take restores input order
+        concat_idx = np.concatenate(idx_parts)
+        inv = np.empty(n, np.int64)
+        inv[concat_idx] = np.arange(n)
+        perm = pa.array(inv)
+        cols = {
+            name: pa.concat_arrays(parts).take(perm)
+            for name, parts in col_parts.items()
+        }
 
         # --- variant dual emission over ok rows (vectorized probe,
         #     per-matching-row translate; core/pdf_processor.py:661-665)
+        normalized: pa.Array = pa.nulls(n, pa.string())
         if self._variant_class is not None:
-            ext_arr = pa.array(extracted, pa.string())
-            has_variant = pc.match_substring_regex(ext_arr, self._variant_class)
-            for i in np.flatnonzero(np.asarray(has_variant.fill_null(False))):
-                if status[i] == STATUS_OK and extracted[i]:
-                    cand = self.vm.normalize(extracted[i])
-                    if cand != extracted[i]:
-                        normalized[i] = cand
+            has_variant = np.asarray(
+                pc.match_substring_regex(cols["extracted_text"], self._variant_class)
+                .fill_null(False)
+            )
+            hit = np.flatnonzero(
+                has_variant & np.asarray(pc.equal(cols["status"], STATUS_OK))
+            )
+            if len(hit):
+                norm_py: list[str | None] = [None] * n
+                originals = cols["extracted_text"].take(pa.array(hit)).to_pylist()
+                for i, orig in zip(hit, originals):
+                    cand = self.vm.normalize(orig)
+                    if cand != orig:
+                        norm_py[i] = cand
+                normalized = pa.array(norm_py, pa.string())
 
         return pa.Table.from_arrays(
             [
                 batch.column("conv_id"),
                 batch.column("turn_idx"),
                 batch.column("role"),
-                pa.array(route_name, pa.string()),
-                pa.array(extracted, pa.string()),
-                pa.array(normalized, pa.string()),
-                pa.array(spans, pa.list_(SPAN_TYPE)),
-                pa.array(status, pa.string()),
-                pa.array(error, pa.string()),
+                cols["route"],
+                cols["extracted_text"],
+                normalized,
+                cols["spans"],
+                cols["status"],
+                cols["error"],
             ],
             names=[
                 "conv_id",
