@@ -242,6 +242,31 @@ def _q_status_profile(sf_dir: str):
     return status_profile(extract_dataset(ds, DEFAULT_CONFIG))
 
 
+def _q_conv_passthrough(sf_dir: str):
+    """M1 doc-level existing-text predicate: per-conversation stripped
+    char totals and the passthrough flag (combiner → groupby-sum)."""
+    from intelligent_ocr_ray.pipelines.conv_skip import conv_passthrough_flags
+
+    return conv_passthrough_flags(transcripts_from_documents(sf_dir))
+
+
+def _q_conv_export(sf_dir: str):
+    """S6 TXT-export projection: one row per conversation, turns joined
+    in stable order with separators (exercised over the raw transcripts
+    so the DuckDB string_agg oracle can reproduce it exactly)."""
+    from intelligent_ocr_ray.pipelines.export import conversation_text
+
+    ds = transcripts_from_documents(sf_dir)
+
+    def as_extracted(t: pa.Table) -> pa.Table:
+        return t.append_column("extracted_text", t.column("text"))
+
+    return conversation_text(
+        ds.map_batches(as_extracted, batch_format="pyarrow", zero_copy_batch=True),
+        "txt",
+    )
+
+
 def _q_multimodal_decode(sf_dir: str):
     """Binary media columns through resize-guard + decode actor pools
     (codec layer stubbed with deterministic fakes; Ray plumbing real).
@@ -285,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal_decode,
         "conv_stats": _q_conv_stats,
         "status_profile": _q_status_profile,
+        "conv_passthrough": _q_conv_passthrough,
+        "conv_export": _q_conv_export,
     }
 
 
@@ -416,6 +443,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, count(*) AS n_turns,
                    max(turn_idx) AS max_turn_idx,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM t GROUP BY conv_id
+        """,
+        "conv_passthrough": f"""
+            WITH t AS ({SQL_DERIVATION})
+            SELECT conv_id,
+                   CAST(sum(coalesce(length(trim(text, {_WS_TRIM})), 0)) AS BIGINT) AS total_chars,
+                   sum(coalesce(length(trim(text, {_WS_TRIM})), 0)) > 100 AS passthrough
+            FROM t GROUP BY conv_id
+        """,
+        "conv_export": f"""
+            WITH t AS ({SQL_DERIVATION})
+            SELECT conv_id, count(*) AS n_turns,
+                   string_agg('--- turn ' || turn_idx || ' ---' || chr(10) || coalesce(text, ''),
+                              chr(10) || chr(10) ORDER BY turn_idx) AS content
             FROM t GROUP BY conv_id
         """,
         # jaccard is ONE double division of exact int64s — bit-identical
