@@ -26,11 +26,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # transcripts sized from the sf documents table: deterministic, cached.
-# 60 convs/doc ≈ 4M turns at sf0.1 — large enough that fixed pipeline
-# overheads (sort barrier, scheduling) amortize and the 8→32-CPU scaling
-# efficiency reflects the compute, as it would on a real cluster where
-# per-job overhead is negligible against the corpus.
-CONVS_PER_DOC = 60
+# 60 convs/doc ≈ 4M turns at sf0.1. GRAFT_CONVS_PER_DOC scales the
+# corpus for scaling-evidence runs: fixed pipeline overheads (sort
+# barrier, scheduling) amortize with corpus size, as they would on a
+# real cluster where per-job overhead is negligible against the data.
+CONVS_PER_DOC = int(os.environ.get("GRAFT_CONVS_PER_DOC", "60"))
 
 
 def transcripts_dir() -> str:
