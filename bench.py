@@ -118,7 +118,44 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "rows": n_rows,
         "throughput_rows_per_s": round(n_rows / headline, 1),
+        "exact_match_rate": exact_match_rate(src),
     }
+
+
+def exact_match_rate(src: str, sample_rows: int = 5000) -> float:
+    """Fraction of sampled turns whose pipeline extraction equals the
+    serial per-row oracle exactly (route, text, normalized, status)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from intelligent_ocr_ray.config import DEFAULT_CONFIG
+    from intelligent_ocr_ray.functions.extract import extract_turn
+    from intelligent_ocr_ray.functions.variants import VariantMapper
+    from intelligent_ocr_ray.stages.extractor import ExtractTurns
+
+    f = sorted(p for p in _os.listdir(src) if p.endswith(".parquet"))[0]
+    batch = pq.read_table(
+        _os.path.join(src, f), columns=["conv_id", "turn_idx", "role", "text"]
+    ).slice(0, sample_rows)
+    got = ExtractTurns(DEFAULT_CONFIG)(batch).to_pylist()
+    vm = VariantMapper(DEFAULT_CONFIG.variants_path)
+    n_match = 0
+    for row, text in zip(got, batch.column("text").to_pylist()):
+        ext, _ = extract_turn(text, DEFAULT_CONFIG, None)
+        normalized = None
+        if ext.status == "ok" and ext.extracted_text and vm.needs_normalization(ext.extracted_text):
+            cand = vm.normalize(ext.extracted_text)
+            if cand != ext.extracted_text:
+                normalized = cand
+        if (
+            row["extracted_text"] == ext.extracted_text
+            and row["status"] == ext.status
+            and row["route"] == ext.route
+            and row["text_normalized"] == normalized
+        ):
+            n_match += 1
+    return round(n_match / max(1, len(got)), 6)
 
 
 def run_scaling() -> dict:
