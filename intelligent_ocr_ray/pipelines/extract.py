@@ -18,7 +18,7 @@ from ..config import DEFAULT_CONFIG, ExtractorConfig
 from ..stages.extractor import ExtractTurns
 from .ordering import sort_stable
 
-INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
+INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool"]
 
 
 def auto_concurrency(reserve: int = 2) -> int:

@@ -35,6 +35,7 @@ EXTRACTED_SCHEMA = pa.schema(
         pa.field("conv_id", pa.string()),
         pa.field("turn_idx", pa.int32()),
         pa.field("role", pa.string()),
+        pa.field("tool", pa.string()),  # provenance passthrough (input payload pair)
         pa.field("route", pa.string()),  # which extractor handled the payload
         pa.field("extracted_text", pa.string()),
         pa.field("text_normalized", pa.string()),  # null unless variant map changed it

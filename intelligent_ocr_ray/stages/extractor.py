@@ -321,11 +321,15 @@ class ExtractTurns:
                         norm_py[i] = cand
                 normalized = pa.array(norm_py, pa.string())
 
+        # key + provenance passthrough (`tool` rides along when present —
+        # the input_hint's text/tool payload pair; like the reference
+        # keeping the original page image next to the text layer)
+        passthrough = [
+            c for c in ("conv_id", "turn_idx", "role", "tool") if c in batch.schema.names
+        ]
         return pa.Table.from_arrays(
-            [
-                batch.column("conv_id"),
-                batch.column("turn_idx"),
-                batch.column("role"),
+            [batch.column(c) for c in passthrough]
+            + [
                 cols["route"],
                 cols["extracted_text"],
                 normalized,
@@ -333,10 +337,8 @@ class ExtractTurns:
                 cols["status"],
                 cols["error"],
             ],
-            names=[
-                "conv_id",
-                "turn_idx",
-                "role",
+            names=passthrough
+            + [
                 "route",
                 "extracted_text",
                 "text_normalized",
