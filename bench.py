@@ -98,7 +98,14 @@ def run_bench() -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in ("events_hourly", "events_sessions", "pricing_summary", "exact_dedup"):
+    for name in (
+        "events_hourly",
+        "events_sessions",
+        "pricing_summary",
+        "exact_dedup",
+        "minhash_dups",
+        "ann_topk",
+    ):
         if name not in qs:
             continue
         t0 = time.perf_counter()

@@ -130,6 +130,19 @@ def run_resumable(
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         manifest.commit_partition(part, tmp, 0, 0.0)
+
+    # run metrics (S8 JSONL-log analog): per-(status, route) counters of
+    # the committed output, one parquet per run under metrics/
+    try:
+        from .metrics import status_profile, write_run_metrics
+
+        write_run_metrics(
+            status_profile(read_output(out_dir)),
+            os.path.join(out_dir, "metrics", "run_metrics.parquet"),
+            {"run_id": in_fp, "config_fp": config.fingerprint()},
+        )
+    except Exception:  # noqa: BLE001 — metrics are advisory, never fail a run
+        pass
     return manifest
 
 

@@ -48,6 +48,23 @@ def test_status_profile_sums_to_input():
     assert set(prof.status) <= {"ok", "skipped", "fallback"}
 
 
+def test_run_metrics_written_and_rolled_up(tmp_path):
+    from intelligent_ocr_ray.pipelines.metrics import rollup_metrics, write_run_metrics
+    from intelligent_ocr_ray.pipelines.resumable import run_resumable
+    from intelligent_ocr_ray.sources.transcripts import write_transcripts
+
+    src = write_transcripts(str(tmp_path / "in"), 40, seed=11)
+    run_resumable(src, str(tmp_path / "out"), num_parts=4)
+    metrics = rd.read_parquet(str(tmp_path / "out/metrics")).to_pandas()
+    assert metrics.n.sum() > 0
+    assert set(metrics.columns) >= {"status", "route", "n", "run_id", "config_fp"}
+
+    # A2 roll-up across runs: scan, filter ok, sum per run
+    roll = rollup_metrics(str(tmp_path / "out/metrics")).to_pandas()
+    assert len(roll) == 1
+    assert roll.rows_ok.iloc[0] == metrics[metrics.status == "ok"].n.sum()
+
+
 def test_completeness_by_conv_detects_loss():
     t_in = pa.table(
         {
