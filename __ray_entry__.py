@@ -203,6 +203,19 @@ def _q_simhash_dups(sf_dir: str):
     return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
 
 
+def _q_minhash_dedup_docs(sf_dir: str):
+    """End-to-end near-dedup: MinHash/LSH pairs → connected components →
+    keep the min-id representative per component. Rows-only (transitive
+    closure is not SQL-friendly); the pytest oracle union-finds the
+    exact n-gram-Jaccard pair graph."""
+    from intelligent_ocr_ray.stages.dedup import dedup_corpus, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+    return dedup_corpus(_docs(sf_dir, ["doc_id", "text"]), pairs).select_columns(
+        ["doc_id"]
+    )
+
+
 def _q_embedding_neardup(sf_dir: str):
     from intelligent_ocr_ray.stages.similarity import embedding_neardup
 
@@ -304,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_dups": _q_minhash_dups,
         "simhash_dups": _q_simhash_dups,
+        "minhash_dedup_docs": _q_minhash_dedup_docs,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,

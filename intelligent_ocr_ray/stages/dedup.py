@@ -386,6 +386,55 @@ def _pairs_from_simhash_group(group: pa.Table, max_hamming: int, max_bucket: int
     )
 
 
+def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over near-dup pairs → {doc_id: component_min}.
+
+    Driver-side: the pair list is tiny relative to the corpus (only
+    near-duplicates appear). At 100 TB swap for iterative min-label
+    propagation (repeat: join labels over edges, keep min, until fixed
+    point — each round is one hash join keyed by doc_id)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def dedup_corpus(ds, pairs_ds, *, id_col: str = "doc_id"):
+    """Remove near-duplicates: keep the min-id representative of each
+    connected component of the pair graph, drop the rest. The component
+    map is broadcast via ray.put (O(near-dups), not O(corpus)) and
+    applied as a vectorized filter per batch."""
+    import ray
+
+    pairs_df = pairs_ds.to_pandas()
+    comp = connected_components(list(zip(pairs_df.doc_a, pairs_df.doc_b)))
+    drop = {doc for doc, rep in comp.items() if doc != rep}
+    drop_ref = ray.put(np.fromiter(drop, dtype=np.int64, count=len(drop)))
+
+    class FilterDups:
+        def __init__(self):
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col))
+            keep = ~np.isin(ids, self.drop)
+            return batch.filter(pa.array(keep))
+
+    return ds.map_batches(
+        FilterDups, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=2, num_cpus=0.5,
+    )
+
+
 def simhash_pairs(ds, max_hamming: int = 3, *, max_bucket: int = 2000):
     """SimHash near-dup pairs with Hamming distance ≤ k (default 3).
 

@@ -46,14 +46,53 @@ def input_fingerprint(paths: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+def _is_input_artifact(name: str) -> bool:
+    """Reject hidden / temp artifacts the way the reference's task
+    filter rejects `._*`, `*_temp.pdf`, `_ocr_temp` leftovers
+    (core/task_manager.py:124-133): resume temp dirs, partial writes and
+    OS metadata files must never be read back as input."""
+    return (
+        name.startswith(".")
+        or name.startswith("_")
+        or "_tmp" in name
+        or name.endswith(".crc")
+    )
+
+
 def list_parquet_files(input_path: str) -> list[str]:
     if os.path.isfile(input_path):
         return [input_path]
     return [
         os.path.join(input_path, f)
         for f in sorted(os.listdir(input_path))
-        if f.endswith(".parquet")
+        if f.endswith(".parquet") and not _is_input_artifact(f)
     ]
+
+
+def validate_transcripts(input_path: str) -> tuple[bool, str]:
+    """S4 analog of validate_pdf (core/pdf_processor.py:335-360):
+    openable + required columns + at least one row — all from parquet
+    metadata, no data read."""
+    import pyarrow.parquet as pq
+
+    required = {"conv_id", "turn_idx", "role", "text"}
+    files = list_parquet_files(input_path)
+    if not files:
+        return False, "no parquet files"
+    total = 0
+    for p in files:
+        try:
+            meta = pq.read_metadata(p)
+            names = set(pq.read_schema(p).names)
+        except Exception as e:  # noqa: BLE001
+            return False, f"unreadable parquet {os.path.basename(p)}: {e}"
+        missing = required - names
+        if missing:
+            return False, f"{os.path.basename(p)} missing columns {sorted(missing)}"
+        total += meta.num_rows
+    if total == 0:
+        return False, "zero rows"
+    return True, f"{len(files)} files, {total} rows"
 
 
 class RunManifest:

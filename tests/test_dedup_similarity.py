@@ -181,6 +181,33 @@ def test_ivf_recall():
     assert len(approx) == len(exact)
 
 
+def test_connected_components_union_find():
+    from intelligent_ocr_ray.stages.dedup import connected_components
+
+    comp = connected_components([(1, 2), (2, 3), (10, 11), (3, 1)])
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert connected_components([]) == {}
+
+
+def test_dedup_corpus_keeps_representatives():
+    from intelligent_ocr_ray.stages.dedup import (
+        connected_components,
+        dedup_corpus,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_docs_ds(), threshold=0.5)
+    kept = dedup_corpus(_docs_ds(), pairs).to_pandas()
+    # oracle: union-find the EXACT jaccard pair graph at the same τ
+    exact = _brute_jaccard(0.5)
+    comp = connected_components(list(exact.keys()))
+    drop = {d for d, rep in comp.items() if d != rep}
+    assert set(kept.doc_id) == set(range(500)) - drop
+    # representatives (component minima) always survive
+    assert all(rep in set(kept.doc_id) for rep in comp.values())
+
+
 def test_dedup_pair_tables_are_canonical():
     got = ngram_jaccard_pairs(_docs_ds(), threshold=0.5).to_pandas()
     assert (got.doc_a < got.doc_b).all()

@@ -11,6 +11,41 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+
+def test_input_artifact_filter(tmp_path):
+    from intelligent_ocr_ray.state.manifest import list_parquet_files
+
+    good = tmp_path / "part-0.parquet"
+    pq.write_table(pa.table({"x": [1]}), str(good))
+    for bad in ("._hidden.parquet", "_tmp-part.parquet", "data_tmp.parquet"):
+        pq.write_table(pa.table({"x": [1]}), str(tmp_path / bad))
+    assert list_parquet_files(str(tmp_path)) == [str(good)]
+
+
+def test_validate_transcripts(tmp_path):
+    from intelligent_ocr_ray.state.manifest import validate_transcripts
+
+    ok, msg = validate_transcripts(str(tmp_path))
+    assert not ok and "no parquet" in msg
+
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": ["a"],
+                "turn_idx": pa.array([0], pa.int32()),
+                "role": ["user"],
+                "text": ["hi"],
+            }
+        ),
+        str(tmp_path / "t.parquet"),
+    )
+    ok, msg = validate_transcripts(str(tmp_path))
+    assert ok and "1 files" in msg
+
+    pq.write_table(pa.table({"x": [1]}), str(tmp_path / "u.parquet"))
+    ok, msg = validate_transcripts(str(tmp_path))
+    assert not ok and "missing columns" in msg
+
 from intelligent_ocr_ray.config import ExtractorConfig
 from intelligent_ocr_ray.pipelines.oracle import serial_extract
 from intelligent_ocr_ray.pipelines.resumable import (
