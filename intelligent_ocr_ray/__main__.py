@@ -1,0 +1,106 @@
+"""CLI — the engine's `python main.py input.pdf` analog
+(reference: main.py:77-98 cli_process → processor pipeline; ours:
+`python -m intelligent_ocr_ray run --input DIR --out DIR`).
+
+Owns the Ray session (guarded init), like bench.py; the library never
+calls ray.init itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    return ray
+
+
+def cmd_run(args) -> int:
+    from .config import DEFAULT_CONFIG
+    from .pipelines.resumable import audit_completeness, run_resumable
+    from .state.manifest import validate_transcripts
+
+    ok, msg = validate_transcripts(args.input)
+    if not ok:
+        print(f"invalid input: {msg}", file=sys.stderr)
+        return 2
+    ray = _ray_init(args.num_cpus)
+    try:
+        manifest = run_resumable(
+            args.input, args.out, DEFAULT_CONFIG, num_parts=args.num_parts
+        )
+        complete, n_in, n_out = audit_completeness(args.input, manifest)
+        print(
+            json.dumps(
+                {
+                    "complete": complete,
+                    "rows_in": n_in,
+                    "rows_out": n_out,
+                    "partitions": manifest.num_parts,
+                    "progress": manifest.progress(),
+                }
+            )
+        )
+        return 0 if complete else 1
+    finally:
+        ray.shutdown()
+
+
+def cmd_validate(args) -> int:
+    from .state.manifest import validate_transcripts
+
+    ok, msg = validate_transcripts(args.input)
+    print(json.dumps({"ok": ok, "detail": msg}))
+    return 0 if ok else 2
+
+
+def cmd_export(args) -> int:
+    from .pipelines.export import export_md, export_txt
+    from .pipelines.resumable import read_output
+
+    ray = _ray_init(args.num_cpus)
+    try:
+        ds = read_output(args.run_dir)
+        (export_md if args.format == "md" else export_txt)(ds, args.out)
+        print(json.dumps({"format": args.format, "out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="intelligent_ocr_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="resumable extraction run (re-run to resume)")
+    r.add_argument("--input", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--num-parts", type=int, default=32)
+    r.set_defaults(fn=cmd_run)
+
+    v = sub.add_parser("validate", help="check an input directory")
+    v.add_argument("--input", required=True)
+    v.set_defaults(fn=cmd_validate)
+
+    e = sub.add_parser("export", help="per-conversation TXT/MD export of a run")
+    e.add_argument("--run-dir", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--format", choices=["txt", "md"], default="txt")
+    e.set_defaults(fn=cmd_export)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
