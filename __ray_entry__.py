@@ -174,6 +174,18 @@ def _q_revenue_by_nation(sf_dir: str):
     return _cents_cols(revenue_by_nation(sf_dir), ["revenue"])
 
 
+def _q_supplier_balance_by_region(sf_dir: str):
+    from intelligent_ocr_ray.pipelines.relational import supplier_balance_by_region
+
+    return _cents_cols(supplier_balance_by_region(sf_dir), ["total_balance"])
+
+
+def _q_docs_with_labels(sf_dir: str):
+    from intelligent_ocr_ray.pipelines.relational import docs_with_labels
+
+    return docs_with_labels(sf_dir)
+
+
 def _q_top_parts(sf_dir: str):
     from intelligent_ocr_ray.pipelines.relational import top_parts_by_size
 
@@ -312,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
+        "supplier_balance_by_region": _q_supplier_balance_by_region,
+        "docs_with_labels": _q_docs_with_labels,
         "top_parts": _q_top_parts,
         "fingerprint": _q_fingerprint,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
@@ -451,6 +465,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_size, p_retailprice FROM part
             WHERE p_size >= 25
             ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+        """,
+        "supplier_balance_by_region": """
+            SELECT r_name,
+                   CAST(round_even(sum(s_acctbal) * 100, 0) AS BIGINT) AS total_balance_cents,
+                   count(*) AS n_suppliers
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "docs_with_labels": """
+            SELECT doc_id, lang, n_chars, label
+            FROM documents JOIN embeddings ON doc_id = vec_id
         """,
         "conv_stats": f"""
             WITH t AS ({SQL_DERIVATION})

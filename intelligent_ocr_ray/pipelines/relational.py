@@ -98,3 +98,48 @@ def top_parts_by_size(sf_dir: str) -> rd.Dataset:
         zero_copy_batch=True,
     )
     return big.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
+
+
+def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
+    """supplier ⋈ nation ⋈ region → per-region supplier count + total
+    account balance. Same broadcast-dims pattern as revenue_by_nation
+    (nation+region are tiny); exercises the remaining star-schema tables."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    dim_ref = ray.put(dim)
+
+    class JoinDim:
+        def __init__(self):
+            self.dim = ray.get(dim_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            j = batch.merge(self.dim, left_on="s_nationkey", right_on="n_nationkey")
+            out = j.groupby("r_name", as_index=False)["s_acctbal"].agg(["sum", "count"])
+            return out.rename(columns={"sum": "bal_part", "count": "n_part"})
+
+    suppliers = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    partials = suppliers.map_batches(JoinDim, batch_format="pandas", concurrency=2)
+    return partials.groupby("r_name").aggregate(
+        Sum("bal_part", alias_name="total_balance"),
+        Sum("n_part", alias_name="n_suppliers"),
+    )
+
+
+def docs_with_labels(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
+    """documents ⋈ embeddings on doc_id=vec_id via the engine-native
+    HASH JOIN (Dataset.join) — the shuffle-join form for when neither
+    side is broadcastable (at 100 TB both fact tables are large; the
+    broadcast pattern above stops applying)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    joined = docs.join(
+        emb,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+        right_on=("vec_id",),
+    )
+    return joined.select_columns(["doc_id", "lang", "n_chars", "label"])
