@@ -160,6 +160,12 @@ def _q_events_sessions(sf_dir: str):
     return _cents_cols(sessionize(sf_dir), ["sum_value"])
 
 
+def _q_events_props(sf_dir: str):
+    from intelligent_ocr_ray.pipelines.events import props_rollup
+
+    return props_rollup(sf_dir)
+
+
 def _q_pricing_summary(sf_dir: str):
     from intelligent_ocr_ray.pipelines.relational import pricing_summary
 
@@ -322,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "events_props": _q_events_props,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "supplier_balance_by_region": _q_supplier_balance_by_region,
@@ -429,6 +436,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    CAST(round_even(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents, count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "events_sessions": """
             WITH d AS (

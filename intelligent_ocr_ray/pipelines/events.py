@@ -52,6 +52,28 @@ def hourly_rollup(sf_dir: str) -> rd.Dataset:
     return out
 
 
+def props_rollup(sf_dir: str) -> rd.Dataset:
+    """Schema-on-read over the JSON `props` column (the reference's
+    JSONL log is read the same way, core/pdf_processor.py:160-189):
+    extract `k` with one vectorized regex pass (pc.extract_regex — no
+    per-row json.loads), then the usual partial→global aggregate."""
+    ds = read_events(sf_dir, columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"), "k": k})
+        return pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [("k", "sum"), ("k", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("event_type").aggregate(
+        Sum("k_sum", alias_name="sum_k"),
+        Sum("k_count", alias_name="n_events"),
+    )
+
+
 SESSION_GAP_MINUTES = 30
 
 

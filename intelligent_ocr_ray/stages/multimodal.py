@@ -151,6 +151,47 @@ class DecodeImage:
         )
 
 
+class DecodeAudio:
+    """Actor-pool stage: FAUD payloads → sample_rate / duration /
+    RMS-energy feature. Same contract as DecodeImage (errors emitted,
+    never dropped; real codecs plug into the registry)."""
+
+    def __init__(self, col: str = "audio"):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.col).to_pylist()
+        n = len(payloads)
+        rate = np.zeros(n, np.int32)
+        dur = np.full(n, np.nan, np.float64)
+        rms = np.full(n, np.nan, np.float64)
+        status: list[str] = []
+        for i, data in enumerate(payloads):
+            if data is None:
+                status.append("null")
+                continue
+            if data[:4] != b"FAUD":
+                status.append("error: NotImplementedError: no codec for real audio")
+                continue
+            try:
+                sr, ns = struct.unpack("<II", data[4:12])
+                samples = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16)
+                rate[i] = sr
+                dur[i] = ns / sr
+                rms[i] = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                status.append("ok")
+            except (zlib.error, struct.error) as e:
+                status.append(f"error: {type(e).__name__}: {e}")
+        p = self.col
+        return (
+            batch.drop_columns([self.col])
+            .append_column(f"{p}_sample_rate", pa.array(rate, pa.int32()))
+            .append_column(f"{p}_duration_s", pa.array(dur, pa.float64()))
+            .append_column(f"{p}_rms", pa.array(rms, pa.float64()))
+            .append_column(f"{p}_status", pa.array(status, pa.string()))
+        )
+
+
 class ResizeImage:
     """Actor-pool stage: nearest-neighbor resize of FIMG payloads to a
     fixed target (the adaptive-zoom/size-guard analog,

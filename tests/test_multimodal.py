@@ -73,6 +73,29 @@ def test_resize_caps_max_side():
     assert any(s < 1.0 for s in scales)  # some inputs were larger
 
 
+def test_decode_audio():
+    import numpy as np
+
+    from intelligent_ocr_ray.stages.multimodal import DecodeAudio, fake_audio_bytes
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "audio": pa.array([fake_audio_bytes(0), None, b"RIFF...."], pa.binary()),
+        }
+    )
+    out = DecodeAudio()(t)
+    statuses = out.column("audio_status").to_pylist()
+    assert statuses[0] == "ok" and statuses[1] == "null"
+    assert statuses[2].startswith("error: NotImplementedError")
+    sr, ns = struct.unpack("<II", fake_audio_bytes(0)[4:12])
+    assert out.column("audio_sample_rate")[0].as_py() == sr
+    assert out.column("audio_duration_s")[0].as_py() == pytest.approx(ns / sr)
+    samples = np.frombuffer(zlib.decompress(fake_audio_bytes(0)[12:]), dtype=np.int16)
+    want_rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    assert out.column("audio_rms")[0].as_py() == pytest.approx(want_rms)
+
+
 def test_sample_frames():
     t = pa.table(
         {
