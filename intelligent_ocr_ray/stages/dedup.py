@@ -284,10 +284,14 @@ class MinHashLSH:
         )
 
 
-def _pairs_from_band_group(group: pa.Table, max_bucket: int) -> pa.Table:
-    """Candidate pairs within one LSH bucket, with estimated Jaccard =
-    fraction of agreeing signature slots. Oversized buckets (degenerate
-    boilerplate collisions) are capped — the skew guard."""
+def _pairs_from_band_partition(part: pa.Table, max_bucket: int) -> pa.Table:
+    """Candidate pairs for one hash partition of the LSH bucket space
+    (buckets = (band_idx, band_key) runs found vectorized — per-bucket
+    map_groups dispatch costs more than all the math; see the n-gram
+    pipeline note). Estimated Jaccard = fraction of agreeing signature
+    slots, computed in one numpy pass over all pairs of the partition.
+    Oversized buckets (degenerate boilerplate collisions) are capped —
+    the skew guard."""
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -295,17 +299,38 @@ def _pairs_from_band_group(group: pa.Table, max_bucket: int) -> pa.Table:
             "est_jaccard": pa.array([], pa.float64()),
         }
     )
-    m = group.num_rows
-    if m < 2 or m > max_bucket:
+    if part.num_rows < 2:
         return empty
-    order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
-    ids = np.asarray(group.column("doc_id").take(order))
-    sig = np.asarray(
-        group.column("sig").take(order).combine_chunks().flatten()
-    ).reshape(m, N_PERM)
-    ai, bi = np.triu_indices(m, k=1)
-    # drop self-pairs from duplicate doc_ids upstream
-    keep = ids[ai] != ids[bi]
+    order = pc.sort_indices(
+        part,
+        sort_keys=[
+            ("band_idx", "ascending"),
+            ("band_key", "ascending"),
+            ("doc_id", "ascending"),
+        ],
+    )
+    bidx = np.asarray(part.column("band_idx").take(order))
+    bkey = np.asarray(part.column("band_key").take(order))
+    ids = np.asarray(part.column("doc_id").take(order))
+    sig_arr = part.column("sig").take(order)
+    if isinstance(sig_arr, pa.ChunkedArray):
+        sig_arr = sig_arr.combine_chunks()
+    sig = np.asarray(sig_arr.flatten()).reshape(len(ids), N_PERM)
+    newgrp = (bidx[1:] != bidx[:-1]) | (bkey[1:] != bkey[:-1])
+    starts = np.concatenate([[0], np.flatnonzero(newgrp) + 1, [len(ids)]])
+    sizes = np.diff(starts)
+    AI: list[np.ndarray] = []
+    BI: list[np.ndarray] = []
+    for gi in np.flatnonzero((sizes >= 2) & (sizes <= max_bucket)):
+        lo, m = starts[gi], sizes[gi]
+        ai, bi = np.triu_indices(m, k=1)
+        AI.append(lo + ai)
+        BI.append(lo + bi)
+    if not AI:
+        return empty
+    ai = np.concatenate(AI)
+    bi = np.concatenate(BI)
+    keep = ids[ai] != ids[bi]  # drop self-pairs from duplicate doc_ids
     ai, bi = ai[keep], bi[keep]
     est = (sig[ai] == sig[bi]).mean(axis=1)
     return pa.table(
@@ -336,8 +361,19 @@ def minhash_lsh_pairs(
         concurrency=concurrency if concurrency is not None else 2,
         num_cpus=1,
     )
-    cand = bands.groupby(["band_idx", "band_key"]).map_groups(
-        functools.partial(_pairs_from_band_group, max_bucket=max_bucket),
+
+    def add_bpart(t: pa.Table) -> pa.Table:
+        mixed = pc.bit_wise_xor(
+            t.column("band_key"),
+            pc.shift_left(pc.cast(t.column("band_idx"), pa.int64()), 58),
+        )
+        return t.append_column(
+            "bpart", pc.cast(pc.bit_wise_and(mixed, np.int64(63)), pa.int32())
+        )
+
+    parted = bands.map_batches(add_bpart, batch_format="pyarrow", zero_copy_batch=True)
+    cand = parted.groupby("bpart").map_groups(
+        functools.partial(_pairs_from_band_partition, max_bucket=max_bucket),
         batch_format="pyarrow",
     )
     # a pair surfaces once per colliding band → dedup; est is identical
@@ -411,7 +447,12 @@ def _explode_simhash_bands(batch: pa.Table) -> pa.Table:
     )
 
 
-def _pairs_from_simhash_group(group: pa.Table, max_hamming: int, max_bucket: int) -> pa.Table:
+def _pairs_from_simhash_partition(
+    part: pa.Table, max_hamming: int, max_bucket: int
+) -> pa.Table:
+    """Hamming-near pairs for one hash partition of the simhash
+    bucket space (vectorized bucket runs, same dispatch-cost rationale
+    as the other dedup pipelines)."""
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -419,13 +460,34 @@ def _pairs_from_simhash_group(group: pa.Table, max_hamming: int, max_bucket: int
             "hamming": pa.array([], pa.int64()),
         }
     )
-    m = group.num_rows
-    if m < 2 or m > max_bucket:
+    if part.num_rows < 2:
         return empty
-    order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
-    ids = np.asarray(group.column("doc_id").take(order))
-    sh = np.asarray(group.column("simhash").take(order)).astype(np.uint64)
-    ai, bi = np.triu_indices(m, k=1)
+    order = pc.sort_indices(
+        part,
+        sort_keys=[
+            ("band_idx", "ascending"),
+            ("band_key", "ascending"),
+            ("doc_id", "ascending"),
+        ],
+    )
+    bidx = np.asarray(part.column("band_idx").take(order))
+    bkey = np.asarray(part.column("band_key").take(order))
+    ids = np.asarray(part.column("doc_id").take(order))
+    sh = np.asarray(part.column("simhash").take(order)).astype(np.uint64)
+    newgrp = (bidx[1:] != bidx[:-1]) | (bkey[1:] != bkey[:-1])
+    starts = np.concatenate([[0], np.flatnonzero(newgrp) + 1, [len(ids)]])
+    sizes = np.diff(starts)
+    AI: list[np.ndarray] = []
+    BI: list[np.ndarray] = []
+    for gi in np.flatnonzero((sizes >= 2) & (sizes <= max_bucket)):
+        lo, m = starts[gi], sizes[gi]
+        ai, bi = np.triu_indices(m, k=1)
+        AI.append(lo + ai)
+        BI.append(lo + bi)
+    if not AI:
+        return empty
+    ai = np.concatenate(AI)
+    bi = np.concatenate(BI)
     keep = ids[ai] != ids[bi]
     ai, bi = ai[keep], bi[keep]
     x = sh[ai] ^ sh[bi]
@@ -505,9 +567,20 @@ def simhash_pairs(ds, max_hamming: int = 3, *, max_bucket: int = 2000):
     bands = sim.map_batches(
         _explode_simhash_bands, batch_format="pyarrow", zero_copy_batch=True
     )
-    cand = bands.groupby(["band_idx", "band_key"]).map_groups(
+
+    def add_bpart(t: pa.Table) -> pa.Table:
+        mixed = pc.bit_wise_xor(
+            t.column("band_key"),
+            pc.shift_left(pc.cast(t.column("band_idx"), pa.int64()), 58),
+        )
+        return t.append_column(
+            "bpart", pc.cast(pc.bit_wise_and(mixed, np.int64(63)), pa.int32())
+        )
+
+    parted = bands.map_batches(add_bpart, batch_format="pyarrow", zero_copy_batch=True)
+    cand = parted.groupby("bpart").map_groups(
         functools.partial(
-            _pairs_from_simhash_group, max_hamming=max_hamming, max_bucket=max_bucket
+            _pairs_from_simhash_partition, max_hamming=max_hamming, max_bucket=max_bucket
         ),
         batch_format="pyarrow",
     )
