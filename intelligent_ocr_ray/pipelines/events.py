@@ -77,34 +77,57 @@ def props_rollup(sf_dir: str) -> rd.Dataset:
 SESSION_GAP_MINUTES = 30
 
 
-def sessionize(sf_dir: str) -> rd.Dataset:
+def sessionize(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap from
     the previous event exceeds SESSION_GAP_MINUTES. Emits one row per
-    session: user_id, session_idx, n_events, sum_value.
+    session: user_id, session_idx, n_events, sum_value, session_start.
+
+    Shape: users are hash-partitioned COARSELY (num_parts) and each
+    partition sessionizes ALL its users in one vectorized pass (sort by
+    user/ts/event_id; session boundaries = user change OR gap > thr;
+    per-user session index via global cumsum re-based at user starts) —
+    per-user map_groups dispatch costs more than the arithmetic at
+    millions of users.
 
     Partitioning assumption (documented per SURVEY.md custom-operator
-    rule): all events of one user fit in one group — valid while no
-    single user approaches a block in size; a hotter key would need the
-    salted-subkey treatment from pipelines/ordering.py plus a session
-    merge across salt boundaries.
+    rule): all events of one user land in one partition — valid while
+    no single user approaches a partition in size; a hotter key would
+    need the salted-subkey treatment from pipelines/ordering.py plus a
+    session merge across salt boundaries.
     """
     ds = read_events(sf_dir, columns=["ts", "user_id", "event_id", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(t.column("user_id"), np.int64(num_parts - 1)), pa.int32()
+        )
+        return t.append_column("upart", part)
+
+    def sessionize_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
         gap = g["ts"].diff().dt.total_seconds().fillna(0.0)
-        new_session = (gap > SESSION_GAP_MINUTES * 60).astype(np.int64)
-        g["session_idx"] = new_session.cumsum()
+        user_changed = g["user_id"].ne(g["user_id"].shift()).fillna(True)
+        new_session = (user_changed | (gap > SESSION_GAP_MINUTES * 60)).to_numpy()
+        grp = np.cumsum(new_session)  # global session ordinal
+        # re-base per user: session_idx = ordinal − ordinal at user start
+        user_start_grp = pd.Series(np.where(user_changed, grp, 0)).replace(0, np.nan)
+        base = user_start_grp.ffill().to_numpy()
+        g["session_idx"] = (grp - base).astype(np.int64)
+        g["_grp"] = grp
         out = (
-            g.groupby("session_idx", sort=True)
+            g.groupby("_grp", sort=True)
             .agg(
                 user_id=("user_id", "first"),
+                session_idx=("session_idx", "first"),
                 n_events=("event_id", "count"),
                 sum_value=("value", "sum"),
                 session_start=("ts", "min"),
             )
-            .reset_index()
+            .reset_index(drop=True)
         )
         return out[["user_id", "session_idx", "n_events", "sum_value", "session_start"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby("upart").map_groups(sessionize_partition, batch_format="pandas")
