@@ -120,6 +120,28 @@ def _q_lang_id(sf_dir: str):
     ).select_columns(["doc_id", "lang_guess"])
 
 
+def _q_token_stats_bpe(sf_dir: str):
+    from intelligent_ocr_ray.stages.text_stats import bpe_token_count_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        bpe_token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "n_tokens", "n_bpe_tokens"])
+
+
+def _q_lang_id_ngram(sf_dir: str):
+    """Statistical char-trigram language-ID (Cavnar–Trenkle-style
+    miniature profiles); rows-only — the rule-based lang_id is the
+    oracle-checkable variant."""
+    from intelligent_ocr_ray.stages.text_stats import NgramLangId
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        NgramLangId, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=2, num_cpus=0.5,
+    ).select_columns(["doc_id", "lang_ngram"])
+
+
 def _q_lang_profile(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -324,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality_stats,
         "lang_id": _q_lang_id,
         "lang_profile": _q_lang_profile,
+        "token_stats_bpe": _q_token_stats_bpe,
+        "lang_id_ngram": _q_lang_id_ngram,
         "exact_dedup": _q_exact_dedup,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "events_hourly": _q_events_hourly,
@@ -418,6 +442,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN regexp_matches(text, '[一-龥぀-ゟ゠-ヿ]') THEN 'cjk'
                         WHEN regexp_matches(text, '\\b(the|and|of|to|in|is|a)\\b') THEN 'en'
                         ELSE 'other' END AS lang_guess
+            FROM documents
+        """,
+        "token_stats_bpe": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS n_tokens,
+                   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ' || chr(9) || chr(13) || chr(10) || ']+')) AS n_bpe_tokens
             FROM documents
         """,
         "lang_profile": """

@@ -83,7 +83,69 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("lang_guess", pa.array(lang, pa.string()))
 
 
-# --- document fingerprint (rolling hash) ---------------------------------
+# BPE-ish tokenization: the GPT-2-style pre-tokenizer shape (optional
+# leading space + letter runs | digit runs | punct runs), RE2-safe so
+# the DuckDB oracle runs the identical pattern. Counts of these
+# pre-tokens approximate BPE token counts well enough for corpus
+# budgeting (real BPE merges only shorten runs).
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\r\n]+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_bpe_tokens (BPE-ish pre-token count) next to the
+    whitespace token count."""
+    text = batch.column(text_col)
+    out = batch.append_column(
+        "n_tokens", pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64())
+    )
+    return out.append_column(
+        "n_bpe_tokens",
+        pc.cast(pc.count_substring_regex(text, BPE_TOKEN_PATTERN), pa.int64()),
+    )
+
+
+# --- n-gram language-ID ---------------------------------------------------
+
+# Character-trigram profiles: tiny deterministic per-language frequency
+# tables (the classic Cavnar–Trenkle n-gram LM heuristic at miniature
+# scale). Rule-based lang_id_batch remains the oracle-checkable variant;
+# this one is the statistical variant for text the rules can't separate.
+_LANG_PROFILES = {
+    "en": ("the", "and", "ing", " th", "he ", "of ", "ion", " an", "nd ", "er "),
+    "es": ("de ", " de", "la ", "os ", " la", "ión", "ent", "es ", " es", "ado"),
+    "de": ("en ", "er ", "ch ", "der", " de", "ein", "sch", "ung", "die", "und"),
+    "fr": ("es ", "de ", " de", "le ", "ent", " le", "la ", "et ", " la", "que"),
+}
+
+
+class NgramLangId:
+    """Actor-pool stage: char-trigram profile scoring → `lang_ngram`
+    column ('cjk' short-circuits on codepoint class; otherwise the
+    profile with the most trigram hits, 'other' if nothing scores)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = {k: tuple(v) for k, v in _LANG_PROFILES.items()}
+
+    def _score(self, text: str) -> str:
+        t = text.lower()
+        best, best_hits = "other", 0
+        for lang, grams in self.profiles.items():
+            hits = sum(t.count(g) for g in grams)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        is_cjk = np.asarray(
+            pc.match_substring_regex(text, CJK_PATTERN_PY).fill_null(False)
+        )
+        out = np.empty(len(text), dtype=object)
+        vals = text.to_pylist()
+        for i, t in enumerate(vals):
+            out[i] = "cjk" if is_cjk[i] else self._score(t or "")
+        return batch.append_column("lang_ngram", pa.array(list(out), pa.string()))
 
 import hashlib
 import re as _re

@@ -22,6 +22,46 @@ from intelligent_ocr_ray.functions.variants import VariantMapper
 CFG = ExtractorConfig()
 
 
+def test_bpe_token_count():
+    import pyarrow as pa
+
+    from intelligent_ocr_ray.stages.text_stats import bpe_token_count_batch
+
+    t = pa.table({"text": pa.array(["Hello world, it's 2026!", "", "añ b"], pa.string())})
+    out = bpe_token_count_batch(t)
+    # "Hello"," world",","," it","'","s"," 2026","!" → 8 pre-tokens
+    # "a","ñ"(non-ASCII run)," b" → 3 pre-tokens
+    assert out.column("n_bpe_tokens").to_pylist() == [8, 0, 3]
+    assert out.column("n_tokens").to_pylist() == [4, 0, 2]
+
+
+def test_ngram_lang_id():
+    import pyarrow as pa
+
+    from intelligent_ocr_ray.stages.text_stats import NgramLangId
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "the thing and the other thing going along",
+                    "la canción de la nación está de moda",
+                    "der schein einer schönen Übung und die Ordnung",
+                    "漢字のテキスト",
+                    "zzzz qqqq",
+                ],
+                pa.string(),
+            )
+        }
+    )
+    out = NgramLangId()(t).column("lang_ngram").to_pylist()
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "de"
+    assert out[3] == "cjk"
+    assert out[4] == "other"
+
+
 # --- route ---------------------------------------------------------------
 
 
