@@ -205,8 +205,40 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Dump per-operator Ray Data stats for the flagship pipeline —
+    the measure-don't-guess view (stage wall/CPU, rows/bytes per block,
+    throughput) used to drive the tuning recorded in BENCH/BASELINE.md."""
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    src = transcripts_dir()
+
+    from intelligent_ocr_ray.pipelines.extract import flagship, write_extracted
+
+    out_dir = "/tmp/ior_bench_out/stats"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = flagship(src, ordered=True, batch_size=8192)
+    write_extracted(ds, out_dir)
+    print(ds.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))
