@@ -194,21 +194,24 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10, *, concurrency=2):
 # --- IVF-bucketed approximate top-k (scale path) --------------------------
 
 
-def _centroids(mat: np.ndarray, n_lists: int, seed: int = 13) -> np.ndarray:
-    """Deterministic pseudo-kmeans: seeded sample of corpus vectors as
-    centroids (one refinement pass). Good enough to demonstrate the
-    partitioned-search layout; swap for real kmeans offline at scale."""
+def _centroids(
+    mat: np.ndarray, n_lists: int, seed: int = 13, iters: int = 5
+) -> np.ndarray:
+    """Deterministic spherical k-means: seeded sample init + a few Lloyd
+    iterations (cosine assignment, renormalized means). Deterministic by
+    construction; swap for a real offline k-means at scale."""
     rng = np.random.RandomState(seed)
     idx = rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)
     cents = mat[np.sort(idx)].copy()
-    assign = np.argmax(mat @ cents.T, axis=1)
-    for c in range(len(cents)):
-        members = mat[assign == c]
-        if len(members):
-            m = members.mean(axis=0)
-            n = np.linalg.norm(m)
-            if n > 0:
-                cents[c] = m / n
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
     return cents
 
 
@@ -230,7 +233,7 @@ def ivf_topk(
     k: int = 10,
     *,
     n_lists: int = 16,
-    nprobe: int = 6,
+    nprobe: int = 8,
     concurrency=2,
 ):
     """IVF-style approximate top-k: corpus hash-partitioned into

@@ -176,8 +176,8 @@ def test_ivf_recall():
     a = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(e & a) / len(e)
     # weakly-clustered synthetic vectors are an adversarial case for
-    # IVF; nprobe=6/16 still has to find most true neighbors
-    assert recall >= 0.5
+    # IVF; nprobe=8/16 still has to find most true neighbors
+    assert recall >= 0.6
     assert len(approx) == len(exact)
 
 

@@ -68,6 +68,50 @@ def test_ladder_in_pipeline_reduces_fallbacks():
     assert rec.extracted_text == "hello\nworld"
 
 
+def test_transient_fault_retried():
+    """R1: the retry loop exists for TRANSIENT faults (subclassed /
+    flaky extractors); deterministic ExtractError short-circuits but a
+    non-ExtractError exception gets retried and can succeed."""
+    import intelligent_ocr_ray.functions.extract as fx
+
+    calls = {"n": 0}
+    real = fx.extract_once
+
+    def flaky(text, config):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient blip")
+        return real(text, config)
+
+    orig = fx.extract_once
+    fx.extract_once = flaky
+    try:
+        ext, _ = fx.extract_turn("plain words", DEFAULT_CONFIG)
+    finally:
+        fx.extract_once = orig
+    assert ext.status == "ok"
+    assert calls["n"] == 2  # one failure + one successful retry
+
+
+def test_deterministic_error_not_retried():
+    import intelligent_ocr_ray.functions.extract as fx
+
+    calls = {"n": 0}
+    real = fx.extract_once
+
+    def counting(text, config):
+        calls["n"] += 1
+        return real(text, config)
+
+    fx.extract_once = counting
+    try:
+        ext, _ = fx.extract_turn(POISON, DEFAULT_CONFIG)
+    finally:
+        fx.extract_once = real
+    assert ext.status == "fallback"
+    assert calls["n"] == 1  # ExtractError is deterministic → no retries
+
+
 # --- export sinks ---------------------------------------------------------
 
 
