@@ -359,7 +359,7 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency if concurrency is not None else 2,
-        num_cpus=1,
+        num_cpus=0.5,
     )
 
     def add_bpart(t: pa.Table) -> pa.Table:

@@ -103,7 +103,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, *, concurrency=2):
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=0.5,
     )
 
 
@@ -184,7 +184,7 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10, *, concurrency=2):
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=0.5,
     )
     return partial.groupby("query_id").map_groups(
         functools.partial(_final_topk, k=k), batch_format="pyarrow"
@@ -266,7 +266,7 @@ def ivf_topk(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=0.5,
     )
 
     def search_bucket(group: pa.Table) -> pa.Table:
