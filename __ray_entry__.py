@@ -152,6 +152,21 @@ def _q_lang_profile(sf_dir: str):
     return classified.groupby("lang_guess").aggregate(Count(alias_name="n_docs"))
 
 
+def _q_sample_docs(sf_dir: str):
+    """Deterministic 10% sample by id hash (reproducible under any
+    execution layout, unlike random_sample)."""
+    from intelligent_ocr_ray.stages.sampling import sample_docs
+
+    return sample_docs(sf_dir, rate_pct=10)
+
+
+def _q_dataset_split(sf_dir: str):
+    """Deterministic train/valid/test assignment by id hash."""
+    from intelligent_ocr_ray.stages.sampling import dataset_split
+
+    return dataset_split(sf_dir)
+
+
 def _q_exact_dedup(sf_dir: str):
     """Exact dedup: keep the min-doc_id representative per identical
     text (hash-partition by content via groupby; D1 done-set analog)."""
@@ -348,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_profile": _q_lang_profile,
         "token_stats_bpe": _q_token_stats_bpe,
         "lang_id_ngram": _q_lang_id_ngram,
+        "sample_docs": _q_sample_docs,
+        "dataset_split": _q_dataset_split,
         "exact_dedup": _q_exact_dedup,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "events_hourly": _q_events_hourly,
@@ -456,6 +473,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'other' END AS lang_guess,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "sample_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id * 48271) % 2147483647) % 100 < 10
+        """,
+        "dataset_split": """
+            SELECT doc_id,
+                   CASE WHEN ((doc_id * 48271) % 2147483647) % 100 < 80 THEN 'train'
+                        WHEN ((doc_id * 48271) % 2147483647) % 100 < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "exact_dedup": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
         "doc_stats_by_lang": """

@@ -1,0 +1,69 @@
+"""Deterministic sampling / dataset splitting — operators the reference
+lacks entirely (SURVEY.md §2.6: "No top-k, limit, or sampling operators
+exist") but any training-data pipeline needs: reproducible row sampling
+and train/valid/test assignment that is a pure function of the row key
+(stable under re-runs, resumes, and repartitioning — unlike
+ds.random_sample, whose output depends on execution layout).
+
+The hash is a Lehmer-style multiplicative congruence over int64 —
+chosen so the DuckDB oracle can run the IDENTICAL integer arithmetic
+(`(id * 48271) % 2147483647`): products stay under 2^63 for any id
+below ~9.5e13, so both engines compute exact, overflow-free results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_LEHMER_A = 48271
+_LEHMER_M = 2147483647  # 2^31 - 1
+
+
+def _bucket(ids: pa.ChunkedArray | pa.Array, buckets: int = 100) -> np.ndarray:
+    v = np.asarray(pc.cast(ids, pa.int64()))
+    return ((v * _LEHMER_A) % _LEHMER_M) % buckets
+
+
+def sample_batch(batch: pa.Table, rate_pct: int, id_col: str = "doc_id") -> pa.Table:
+    """Keep ~rate_pct% of rows, deterministically by id hash."""
+    return batch.filter(pa.array(_bucket(batch.column(id_col)) < rate_pct))
+
+
+def split_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> pa.Table:
+    """Append a `split` column: 'train' | 'valid' | 'test' assigned by
+    id hash — every engine and every re-run agrees on the assignment."""
+    b = _bucket(batch.column(id_col))
+    split = np.where(
+        b < train_pct, "train", np.where(b < train_pct + valid_pct, "valid", "test")
+    )
+    return batch.append_column("split", pa.array(split, pa.string()))
+
+
+def sample_docs(sf_dir: str, rate_pct: int = 10):
+    import functools
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
+    return ds.map_batches(
+        functools.partial(sample_batch, rate_pct=rate_pct),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def dataset_split(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return ds.map_batches(split_batch, batch_format="pyarrow", zero_copy_batch=True)

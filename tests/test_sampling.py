@@ -1,0 +1,37 @@
+"""Deterministic sampling / splitting operators."""
+
+import pyarrow as pa
+
+from intelligent_ocr_ray.stages.sampling import dataset_split, sample_batch, split_batch
+
+
+def _ids(n):
+    return pa.table({"doc_id": pa.array(range(n), pa.int64())})
+
+
+def test_sample_rate_and_determinism():
+    a = sample_batch(_ids(10_000), rate_pct=10)
+    b = sample_batch(_ids(10_000), rate_pct=10)
+    assert a.equals(b)  # pure function of ids
+    assert 800 <= a.num_rows <= 1200  # ~10%
+    # sample is a subset of the full split's 'bucket < 10' rows
+    assert set(a.column("doc_id").to_pylist()) <= set(range(10_000))
+
+
+def test_split_partitions_everything_consistently():
+    out = split_batch(_ids(10_000))
+    splits = out.column("split").to_pylist()
+    counts = {s: splits.count(s) for s in ("train", "valid", "test")}
+    assert sum(counts.values()) == 10_000
+    assert 7500 <= counts["train"] <= 8500
+    assert 700 <= counts["valid"] <= 1300
+    assert 700 <= counts["test"] <= 1300
+    # stable: same id → same split across calls and batch boundaries
+    again = split_batch(_ids(10_000).slice(5000, 5000))
+    assert again.column("split").to_pylist() == splits[5000:]
+
+
+def test_dataset_split_e2e():
+    df = dataset_split("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert set(df.split) <= {"train", "valid", "test"}
