@@ -169,11 +169,12 @@ def _q_dataset_split(sf_dir: str):
 
 def _q_exact_dedup(sf_dir: str):
     """Exact dedup: keep the min-doc_id representative per identical
-    text (hash-partition by content via groupby; D1 done-set analog)."""
-    from ray.data.aggregate import Min
+    text, keyed by a per-batch md5 content hash so the groupby shuffle
+    moves 32-byte digests, never the raw text (D1 done-set analog,
+    core/checkpoint.py:37-41). Oracle mirrors with GROUP BY md5(text)."""
+    from intelligent_ocr_ray.stages.dedup import exact_dedup
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_doc_stats_by_lang(sf_dir: str):
@@ -485,7 +486,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM documents
         """,
-        "exact_dedup": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang

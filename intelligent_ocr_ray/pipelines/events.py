@@ -39,15 +39,17 @@ def hourly_rollup(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
         t = batch.drop_columns(["ts"]).append_column("hour", hour)
-        # arrow-native within-batch combine
+        # arrow-native within-batch combine; count_all = count(*)
+        # semantics (a null `value` still counts as an event, matching
+        # the oracle SQL)
         return pa.TableGroupBy(t, ["hour", "event_type"]).aggregate(
-            [("value", "sum"), ("value", "count")]
+            [("value", "sum"), ([], "count_all")]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = partials.groupby(["hour", "event_type"]).aggregate(
         Sum("value_sum", alias_name="sum_value"),
-        Sum("value_count", alias_name="n_events"),
+        Sum("count_all", alias_name="n_events"),
     )
     return out
 
@@ -63,14 +65,16 @@ def props_rollup(sf_dir: str) -> rd.Dataset:
         hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
         k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
         t = pa.table({"event_type": batch.column("event_type"), "k": k})
+        # count_all, not count(k): an event whose props lack `k` still
+        # counts toward n_events (count(*) parity with the oracle)
         return pa.TableGroupBy(t, ["event_type"]).aggregate(
-            [("k", "sum"), ("k", "count")]
+            [("k", "sum"), ([], "count_all")]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby("event_type").aggregate(
         Sum("k_sum", alias_name="sum_k"),
-        Sum("k_count", alias_name="n_events"),
+        Sum("count_all", alias_name="n_events"),
     )
 
 

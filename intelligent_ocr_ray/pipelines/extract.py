@@ -120,15 +120,26 @@ def flagship(
     uses the polars kernel (measured ~2.4× faster than the default
     pyarrow path on string keys at sf0.1)."""
     if ordered:
+        # The read snapshots a COPY of the current DataContext into the
+        # plan (ray.data.read_api passes DataContext.get_current().copy()),
+        # so setting the flags around dataset CONSTRUCTION pins them for
+        # this pipeline's whole execution while the process-global
+        # context is restored for every later, unrelated Dataset.
         ctx = rd.DataContext.get_current()
+        prev_polars = ctx.use_polars_sort
+        prev_order = ctx.execution_options.preserve_order
         ctx.use_polars_sort = True
         # block order must survive the post-sort map stage or the sort
         # is decorative — out-of-order completion may not reassemble
         ctx.execution_options.preserve_order = True
-        ds = sort_stable(read_transcripts(input_path, _sort_block_count(input_path)))
-        # shuffle-free re-split: the sort ran on few fat blocks (cheap
-        # exchange); the extract stage wants ≥ one block per worker
-        ds = ds.repartition(target_num_rows_per_block=65536)
+        try:
+            ds = sort_stable(read_transcripts(input_path, _sort_block_count(input_path)))
+            # shuffle-free re-split: the sort ran on few fat blocks (cheap
+            # exchange); the extract stage wants ≥ one block per worker
+            ds = ds.repartition(target_num_rows_per_block=65536)
+        finally:
+            ctx.use_polars_sort = prev_polars
+            ctx.execution_options.preserve_order = prev_order
     else:
         ds = read_transcripts(input_path)
     return extract_dataset(

@@ -220,6 +220,49 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, max_df: int = 100, num_parts
     return pp.groupby("ppart").map_groups(combine_partition, batch_format="pyarrow")
 
 
+# --- exact dedup (content-hash keyed) -------------------------------------
+
+
+def add_content_hash(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Project a batch to (id, content_hash): a 32-hex md5 digest of the
+    utf-8 text. The digest — not the text — is the downstream group key,
+    so the dedup shuffle moves 32 fixed bytes per row instead of the
+    whole corpus' payloads (the reference's done-set identity dedup,
+    core/checkpoint.py:37-41, hashes for the same reason). md5 (not
+    blake2b like the similarity hashes) because DuckDB's md5() lets the
+    oracle SQL reproduce the key verbatim; collision probability
+    ~n²/2¹²⁸ is negligible at any corpus size we'd meet."""
+    texts = batch.column(text_col).to_pylist()
+    digests = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts
+    ]
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "content_hash": pa.array(digests, pa.string()),
+        }
+    )
+
+
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact duplicate removal: one representative (min id) per distinct
+    text, keyed by per-batch content hash. Scale shape: the map stage
+    reduces each row to (id, digest) before the one hash-shuffle; raw
+    text never leaves the read stage."""
+    import functools
+
+    from ray.data.aggregate import Min
+
+    hashed = ds.map_batches(
+        functools.partial(add_content_hash, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 N_PERM = 64

@@ -123,6 +123,18 @@ class ExtractTurns:
         route[np.asarray(blank)] = _R_BLANK
         return route
 
+    def _truncate(self, arr: pa.Array) -> pa.Array:
+        """Oversized-payload guard for the vectorized plain/plain_long
+        paths — the same cut extract_once applies AFTER routing
+        (functions/extract.py:320-323: route on the full payload, then
+        slice to max_payload_chars). utf8_slice_codeunits counts code
+        points, matching Python str slicing."""
+        mx = self.config.max_payload_chars
+        over = pc.greater(pc.utf8_length(arr), mx).fill_null(False)
+        if not np.asarray(over).any():
+            return arr
+        return pc.if_else(over, pc.utf8_slice_codeunits(arr, 0, mx), arr)
+
     # -- Arrow-native per-class builders ------------------------------------
     #
     # The batch is split by route class; each class builds its columns as
@@ -202,7 +214,7 @@ class ExtractTurns:
         long_idx = np.flatnonzero(route == _R_PLAIN_LONG)
         if len(long_idx):
             k = len(long_idx)
-            ext = text.take(pa.array(long_idx))
+            ext = self._truncate(text.take(pa.array(long_idx)))
             emit(
                 long_idx,
                 self._const(ROUTE_PLAIN_LONG, k),
@@ -220,7 +232,7 @@ class ExtractTurns:
         plain_idx = np.flatnonzero(route == _R_PLAIN)
         if len(plain_idx):
             k = len(plain_idx)
-            sub = pc.utf8_trim_whitespace(text.take(pa.array(plain_idx)))
+            sub = pc.utf8_trim_whitespace(self._truncate(text.take(pa.array(plain_idx))))
             is_ascii = np.asarray(pc.string_is_ascii(sub))
             if not is_ascii.all():
                 nonascii_rel = np.flatnonzero(~is_ascii)
@@ -309,9 +321,17 @@ class ExtractTurns:
                 pc.match_substring_regex(cols["extracted_text"], self._variant_class)
                 .fill_null(False)
             )
-            hit = np.flatnonzero(
-                has_variant & np.asarray(pc.equal(cols["status"], STATUS_OK))
-            )
+            hit_mask = has_variant & np.asarray(pc.equal(cols["status"], STATUS_OK))
+            if self.ladder:
+                # rows recovered via a degraded rung carry
+                # error='degraded[k]: ...' and the serial ladder path
+                # (extract_turn_ladder) emits normalized=None for them —
+                # keep the two paths byte-equal by excluding them here
+                not_degraded = pc.invert(
+                    pc.starts_with(cols["error"], "degraded[").fill_null(False)
+                )
+                hit_mask &= np.asarray(not_degraded)
+            hit = np.flatnonzero(hit_mask)
             if len(hit):
                 norm_py: list[str | None] = [None] * n
                 originals = cols["extracted_text"].take(pa.array(hit)).to_pylist()

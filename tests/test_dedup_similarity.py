@@ -214,3 +214,31 @@ def test_dedup_pair_tables_are_canonical():
     mh = minhash_lsh_pairs(_docs_ds(), threshold=0.5).to_pandas()
     assert (mh.doc_a < mh.doc_b).all()
     assert not mh.duplicated(["doc_a", "doc_b"]).any()
+
+
+# --- exact dedup (content-hash keyed) -------------------------------------
+
+
+def test_exact_dedup_matches_text_groupby():
+    """Hash-keyed dedup ≡ grouping by the raw text (the key it replaced),
+    and the md5 key matches DuckDB's md5() for oracle parity."""
+    import duckdb
+
+    from intelligent_ocr_ray.stages.dedup import exact_dedup
+
+    texts = ["alpha beta", "gamma", "alpha beta", "", "gamma", "delta δ"]
+    ids = [5, 2, 1, 9, 0, 7]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    got = {
+        r["content_hash"]: r["doc_id"] for r in exact_dedup(ds).take_all()
+    }
+    want = duckdb.sql(
+        "SELECT md5(t) AS h, min(i) AS i FROM (SELECT unnest(?) t, unnest(?) i)"
+        " GROUP BY md5(t)",
+        params=[texts, ids],
+    ).fetchall()
+    assert got == {h: i for h, i in want}
+    # survivors = min id per distinct text
+    assert sorted(got.values()) == [0, 1, 7, 9]

@@ -10,7 +10,6 @@ from __future__ import annotations
 import sys
 
 import duckdb
-import numpy as np
 import pandas as pd
 
 
@@ -75,7 +74,6 @@ def main(sf_dir: str):
             for c in got.columns:
                 g, w = got[c], want[c]
                 if g.dtype.kind == "f":
-                    ok = np.allclose(g, w, rtol=0, atol=0, equal_nan=True)
                     exact = (g.values == w.values) | (g.isna() & w.isna()).values
                     if not exact.all():
                         status.append(f"VALUES col={c} ({(~exact).sum()} diffs)")
