@@ -8,20 +8,20 @@ engine would compose them.
 Patterns:
 * pre-aggregate inside map_batches → tiny global groupby (no raw-row
   shuffle);
-* dimension tables broadcast via ``ray.put`` once, merged per batch —
-  never a shuffle join for a small side.
+* genuinely tiny dimensions (nation: 25 rows, region: 5 — FIXED size,
+  not ×sf) become dense int-key lookup arrays applied per Arrow batch;
+* fact-scale sides (orders ⋈ customer) use the engine-native hash join
+  (Dataset.join) — never a broadcast that grows with sf.
 """
 
 from __future__ import annotations
 
 import os
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -55,37 +55,59 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
     )
 
 
-def revenue_by_nation(sf_dir: str) -> rd.Dataset:
-    """orders ⋈ customer ⋈ nation via broadcast dims (customer+nation are
-    tiny next to orders): ray.put once, pandas merge per batch."""
-    cust = pd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    )
-    nation = pd.read_parquet(
-        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
-    )
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
-        ["c_custkey", "n_name"]
-    ]
-    dim_ref = ray.put(dim)
+def _key_lookup(keys: "pa.Array | pa.ChunkedArray", values) -> "tuple":
+    """Dense int-key → value lookup table from a tiny dimension table
+    (TPC-H keys are small dense ints). Returns (np value array, offset)."""
+    import numpy as np
 
-    class JoinDim:
-        def __init__(self):
-            self.dim = ray.get(dim_ref)
+    k = np.asarray(keys, dtype=np.int64)
+    lo, hi = int(k.min()), int(k.max())
+    vals = np.asarray(values.to_pylist() if hasattr(values, "to_pylist") else values)
+    table = np.empty(hi - lo + 1, dtype=vals.dtype)
+    table[k - lo] = vals
+    return table, lo
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            j = batch.merge(self.dim, left_on="o_custkey", right_on="c_custkey")
-            return (
-                j.groupby("n_name", as_index=False)["o_totalprice"]
-                .agg(["sum", "count"])
-                .rename(columns={"sum": "revenue_part", "count": "n_part"})
-            )
+
+def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
+    """orders ⋈ customer via the engine-native HASH JOIN (both are
+    fact-scale tables — customer is 1.5 M rows × sf, NOT a broadcastable
+    side at 100×), then nation (25 rows — genuinely tiny) attached as a
+    broadcast lookup inside an Arrow partial aggregate. No pandas
+    anywhere; the global groupby only sees per-batch partials."""
+    import numpy as np
+    import pyarrow.parquet as pq
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    partials = orders.map_batches(JoinDim, batch_format="pandas", concurrency=2)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    names, off = _key_lookup(nation.column("n_nationkey"), nation.column("n_name"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
+        t = pa.table(
+            {
+                "n_name": pa.array(names[nk - off], pa.string()),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
+        return pa.TableGroupBy(t, ["n_name"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby("n_name").aggregate(
-        Sum("revenue_part", alias_name="revenue"),
-        Sum("n_part", alias_name="n_orders"),
+        Sum("o_totalprice_sum", alias_name="revenue"),
+        Sum("count_all", alias_name="n_orders"),
     )
 
 
@@ -102,29 +124,39 @@ def top_parts_by_size(sf_dir: str) -> rd.Dataset:
 
 def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
     """supplier ⋈ nation ⋈ region → per-region supplier count + total
-    account balance. Same broadcast-dims pattern as revenue_by_nation
-    (nation+region are tiny); exercises the remaining star-schema tables."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
-        ["n_nationkey", "r_name"]
-    ]
-    dim_ref = ray.put(dim)
+    account balance. nation (25) ⋈ region (5) really ARE broadcast-small
+    dimensions: pre-joined on the driver with Arrow's Table.join into a
+    nationkey → region-name lookup attached inside an Arrow partial
+    aggregate per supplier batch. No pandas anywhere."""
+    import numpy as np
+    import pyarrow.parquet as pq
 
-    class JoinDim:
-        def __init__(self):
-            self.dim = ray.get(dim_ref)
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey")
+    rnames, off = _key_lookup(dim.column("n_nationkey"), dim.column("r_name"))
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            j = batch.merge(self.dim, left_on="s_nationkey", right_on="n_nationkey")
-            out = j.groupby("r_name", as_index=False)["s_acctbal"].agg(["sum", "count"])
-            return out.rename(columns={"sum": "bal_part", "count": "n_part"})
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch.column("s_nationkey"), dtype=np.int64)
+        t = pa.table(
+            {
+                "r_name": pa.array(rnames[nk - off], pa.string()),
+                "s_acctbal": batch.column("s_acctbal"),
+            }
+        )
+        return pa.TableGroupBy(t, ["r_name"]).aggregate(
+            [("s_acctbal", "sum"), ([], "count_all")]
+        )
 
     suppliers = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-    partials = suppliers.map_batches(JoinDim, batch_format="pandas", concurrency=2)
+    partials = suppliers.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby("r_name").aggregate(
-        Sum("bal_part", alias_name="total_balance"),
-        Sum("n_part", alias_name="n_suppliers"),
+        Sum("s_acctbal_sum", alias_name="total_balance"),
+        Sum("count_all", alias_name="n_suppliers"),
     )
 
 

@@ -1,13 +1,21 @@
 """Similarity search over an embedding column (`list<float>`):
-brute-force cosine top-k (baseline), all-pairs cosine near-dup, and an
-IVF-bucketed approximate variant (the 100-TB scale path).
+exact cosine near-dup via block-pair tasks, brute-force cosine top-k
+(broadcast-queries baseline), an IVF-bucketed approximate top-k, and a
+multi-assign-bucketed approximate near-dup (the sub-quadratic path).
 
-Broadcast discipline: the *query matrix* and *centroids* are genuinely
-small sides → `ray.put` once, read zero-copy in every `map_batches`
-task (never re-shipped per batch, never shuffled). The all-pairs
-near-dup broadcast of the full corpus matrix is the test-scale
-baseline only; its scale path is `ivf_topk`'s bucketing (search moves
-to per-bucket groups, corpus never broadcast).
+Broadcast discipline: only genuinely SMALL sides are broadcast — the
+query matrix (a handful of vectors) and the centroid table (n_lists × d)
+— via `ray.put` once, read zero-copy in every task. The CORPUS is never
+broadcast and never materialized on the driver:
+
+* exact near-dup runs as tasks over PAIRS of object-store blocks (each
+  task holds exactly two blocks — bounded memory at any corpus size;
+  the O(n²) compute is inherent to the exact operator and is spread
+  across tasks instead of replicated per actor);
+* centroid training reads a deterministic id-hash SAMPLE (bounded rows)
+  computed inside Ray, not the full table;
+* query vectors come from a predicate-pushdown parquet read that only
+  decodes the matching rows.
 
 Float parity with the DuckDB oracle: cosine is computed in float64 on
 both sides and emitted as `cos_micros = round_half_even(cos·1e6)`
@@ -23,6 +31,10 @@ import pyarrow as pa
 
 EMB_COL = "embedding"
 ID_COL = "vec_id"
+
+# Bounded driver/worker-side sample for centroid training; at any corpus
+# size only ~this many vectors are pulled out of Ray.
+CENTROID_SAMPLE_ROWS = 4096
 
 
 def _matrix(batch: pa.Table, col: str = EMB_COL) -> np.ndarray:
@@ -45,7 +57,9 @@ def _cos_micros(cos: np.ndarray) -> np.ndarray:
 
 
 def load_matrix(parquet_path: str, columns=(ID_COL, EMB_COL)) -> tuple[np.ndarray, np.ndarray]:
-    """Driver-side load of (ids, normalized matrix) for broadcasting."""
+    """Whole-table (ids, normalized matrix) load — TEST-ORACLE HELPER
+    ONLY (brute-force comparisons in tests/). No pipeline operator calls
+    this; at corpus scale the full matrix never lands on one machine."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(parquet_path, columns=list(columns))
@@ -53,57 +67,180 @@ def load_matrix(parquet_path: str, columns=(ID_COL, EMB_COL)) -> tuple[np.ndarra
     return ids, _normalize(_matrix(t, columns[1]))
 
 
-# --- all-pairs cosine near-dup (baseline; corpus broadcast) ---------------
+def load_queries(parquet_path: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pruned read of the query vectors (vec_id < n_queries): the filter
+    is pushed into the parquet scan, so only matching row groups are
+    read and only matching rows decoded — never the whole table."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        parquet_path,
+        columns=[ID_COL, EMB_COL],
+        filters=[(ID_COL, "<", n_queries)],
+    )
+    ids = np.asarray(t.column(ID_COL), dtype=np.int64)
+    return ids, _normalize(_matrix(t))
 
 
-class CosineNearDup:
-    """Actor-pool stage: each batch's vectors vs the broadcast corpus
-    matrix (one ray.get per actor in __init__, zero-copy numpy view).
-    Emits pairs (vec_id_a < vec_id_b, cos ≥ τ). O(n²) compute split
-    across batches — correct baseline at test scale; use ivf_topk's
-    bucketing when the corpus no longer fits a broadcast."""
-
-    def __init__(self, corpus_ref, threshold: float):
-        import ray
-
-        self.ids, self.mat = ray.get(corpus_ref)
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        bids = np.asarray(batch.column(ID_COL), dtype=np.int64)
-        bm = _normalize(_matrix(batch))
-        sims = bm @ self.mat.T  # (b, n)
-        bi, ci = np.nonzero(sims >= self.threshold)
-        a, b = bids[bi], self.ids[ci]
-        keep = a < b  # canonical orientation, drops self-pairs
-        cos = sims[bi[keep], ci[keep]]
-        return pa.table(
-            {
-                "vec_id_a": pa.array(a[keep], pa.int64()),
-                "vec_id_b": pa.array(b[keep], pa.int64()),
-                "cos_micros": pa.array(_cos_micros(cos), pa.int64()),
-            }
-        )
+# --- exact cosine near-dup (block-pair tasks) -----------------------------
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.95, *, concurrency=2):
-    """Pairs of embeddings with cosine ≥ τ (near-duplicate detection on
-    the embedding column)."""
+def _block_pairs(
+    ta: pa.Table, tb: pa.Table | None, threshold: float
+) -> pa.Table:
+    """Exact cosine-≥-τ pairs between two blocks (tb=None → within one
+    block). Pairs are oriented vec_id_a < vec_id_b, so each unordered
+    pair is emitted by exactly one (i ≤ j) block-pair task."""
+    ids_a = np.asarray(ta.column(ID_COL), dtype=np.int64)
+    ma = _normalize(_matrix(ta))
+    if tb is None:
+        sims = ma @ ma.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        ia, ib = ids_a[ai], ids_a[bi]
+        cos = sims[ai, bi]
+    else:
+        ids_b = np.asarray(tb.column(ID_COL), dtype=np.int64)
+        mb = _normalize(_matrix(tb))
+        sims = ma @ mb.T
+        ai, bi = np.nonzero(sims >= threshold)
+        ia, ib = ids_a[ai], ids_b[bi]
+        cos = sims[ai, bi]
+        keep = ia != ib  # defensive: duplicate ids across blocks
+        ia, ib, cos = ia[keep], ib[keep], cos[keep]
+    lo = np.minimum(ia, ib)
+    hi = np.maximum(ia, ib)
+    return pa.table(
+        {
+            "vec_id_a": pa.array(lo, pa.int64()),
+            "vec_id_b": pa.array(hi, pa.int64()),
+            "cos_micros": pa.array(_cos_micros(cos), pa.int64()),
+        }
+    )
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.95, *, block_rows: int = 4096):
+    """EXACT pairs of embeddings with cosine ≥ τ.
+
+    Scale shape: the corpus is materialized once into object-store
+    blocks of ~block_rows vectors; one Ray task per block pair (i ≤ j)
+    fetches exactly TWO blocks (zero-copy plasma reads) and emits its
+    pairs. No task, actor or the driver ever holds more than two blocks
+    — memory is bounded at any corpus size, and the inherent O(n²)
+    exact compute is spread over n_blocks² independent tasks that the
+    scheduler streams. For a sub-quadratic approximation use
+    :func:`embedding_neardup_bucketed`."""
+    import math
+    import os
+
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq.read_metadata(path).num_rows
+    n_blocks = max(1, math.ceil(n_rows / block_rows))
+    ds = rd.read_parquet(
+        path, columns=[ID_COL, EMB_COL], override_num_blocks=n_blocks
+    )
+    refs = ds.materialize().to_arrow_refs()
+
+    @ray.remote
+    def pair_task(ta: pa.Table, tb: pa.Table | None) -> pa.Table:
+        return _block_pairs(ta, tb, threshold)
+
+    out = []
+    for i in range(len(refs)):
+        out.append(pair_task.remote(refs[i], None))
+        for j in range(i + 1, len(refs)):
+            out.append(pair_task.remote(refs[i], refs[j]))
+    return rd.from_arrow_refs(out)
+
+
+# --- approximate near-dup (multi-assign centroid buckets) -----------------
+
+
+def embedding_neardup_bucketed(
+    sf_dir: str,
+    threshold: float = 0.4,
+    *,
+    n_lists: int = 16,
+    n_assign: int = 4,
+    concurrency=2,
+):
+    """APPROXIMATE cosine-≥-τ pairs: each vector is assigned to its
+    `n_assign` nearest centroid buckets; candidate pairs are generated
+    only WITHIN buckets (exact cosine verified there), so compute drops
+    from O(n²) to Σ_buckets O(m_b²) — the sub-quadratic scale path. A
+    pair is missed iff the two vectors share no bucket; recall vs the
+    exact operator is pytest-measured (multi-assignment is the recall
+    knob). Same shuffle discipline as the text LSH pipelines: centroids
+    broadcast via ray.put, one bucket groupby, vectorized verify."""
     import os
 
     import ray
     import ray.data as rd
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    corpus_ref = ray.put(load_matrix(path))
+    _, sample = sample_matrix(path, CENTROID_SAMPLE_ROWS)
+    cents = _centroids(sample, n_lists)
+    cents_ref = ray.put(cents)
+
+    class AssignMulti:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bm = _normalize(_matrix(batch))
+            sims = bm @ self.cents.T
+            k = min(n_assign, sims.shape[1])
+            top = np.argpartition(-sims, k - 1, axis=1)[:, :k].astype(np.int32)
+            n = len(bm)
+            ids = np.repeat(np.asarray(batch.column(ID_COL), dtype=np.int64), k)
+            # embeddings ride along so the bucket group verifies locally
+            emb = batch.column(EMB_COL)
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            emb_rep = emb.take(pa.array(np.repeat(np.arange(n), k)))
+            return pa.table(
+                {
+                    ID_COL: pa.array(ids, pa.int64()),
+                    "bucket": pa.array(top.reshape(-1), pa.int32()),
+                    EMB_COL: emb_rep,
+                }
+            )
+
     ds = rd.read_parquet(path, columns=[ID_COL, EMB_COL])
-    return ds.map_batches(
-        CosineNearDup,
-        fn_constructor_kwargs={"corpus_ref": corpus_ref, "threshold": threshold},
+    bucketed = ds.map_batches(
+        AssignMulti,
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
         num_cpus=0.5,
+    )
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(ID_COL), dtype=np.int64)
+        m = _normalize(_matrix(group))
+        sims = m @ m.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        ia, ib = ids[ai], ids[bi]
+        keep = ia != ib  # same vector can share a bucket via 2 assigns
+        ia, ib = ia[keep], ib[keep]
+        cos = sims[ai, bi][keep]
+        return pa.table(
+            {
+                "vec_id_a": pa.array(np.minimum(ia, ib), pa.int64()),
+                "vec_id_b": pa.array(np.maximum(ia, ib), pa.int64()),
+                "cos_micros": pa.array(_cos_micros(cos), pa.int64()),
+            }
+        )
+
+    cand = bucketed.groupby("bucket").map_groups(verify_bucket, batch_format="pyarrow")
+    # a pair appears once per shared bucket; cos is identical each time
+    from ray.data.aggregate import Max
+
+    return cand.groupby(["vec_id_a", "vec_id_b"]).aggregate(
+        Max("cos_micros", alias_name="cos_micros")
     )
 
 
@@ -165,8 +302,9 @@ def _final_topk(group: pa.Table, k: int) -> pa.Table:
 
 
 def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10, *, concurrency=2):
-    """Exact cosine top-k per query vector: broadcast queries →
-    per-batch partial top-k → per-query final reduce."""
+    """Exact cosine top-k per query vector: broadcast queries (pruned
+    predicate-pushdown read — the corpus table is never loaded on the
+    driver) → per-batch partial top-k → per-query final reduce."""
     import functools
     import os
 
@@ -174,9 +312,7 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10, *, concurrency=2):
     import ray.data as rd
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ids, mat = load_matrix(path)
-    sel = ids < n_queries
-    queries_ref = ray.put((ids[sel], mat[sel]))
+    queries_ref = ray.put(load_queries(path, n_queries))
     ds = rd.read_parquet(path, columns=[ID_COL, EMB_COL])
     partial = ds.map_batches(
         TopKPartial,
@@ -194,12 +330,39 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10, *, concurrency=2):
 # --- IVF-bucketed approximate top-k (scale path) --------------------------
 
 
+def sample_matrix(parquet_path: str, target_rows: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic bounded sample of the embedding table, computed
+    INSIDE Ray: a Lehmer id-hash filter (the sampling.py discipline —
+    reproducible under any execution layout) keeps ~target_rows rows;
+    only those leave the cluster. The driver never holds more than the
+    sample regardless of corpus size."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    n_rows = pq.read_metadata(parquet_path).num_rows
+    ds = rd.read_parquet(parquet_path, columns=[ID_COL, EMB_COL])
+    if n_rows > target_rows:
+        pct = max(1, (target_rows * 100) // n_rows)
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t.column(ID_COL), dtype=np.int64)
+            sel = ((ids * 48271) % 2147483647) % 100 < pct
+            return t.filter(pa.array(sel))
+
+        ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    t = ds.take_batch(n_rows, batch_format="pyarrow")
+    ids = np.asarray(t.column(ID_COL), dtype=np.int64)
+    mat = _normalize(_matrix(t))
+    order = np.argsort(ids)  # layout-independent determinism
+    return ids[order], mat[order]
+
+
 def _centroids(
     mat: np.ndarray, n_lists: int, seed: int = 13, iters: int = 5
 ) -> np.ndarray:
-    """Deterministic spherical k-means: seeded sample init + a few Lloyd
-    iterations (cosine assignment, renormalized means). Deterministic by
-    construction; swap for a real offline k-means at scale."""
+    """Deterministic spherical k-means over the (bounded) training
+    sample: seeded sample init + a few Lloyd iterations (cosine
+    assignment, renormalized means)."""
     rng = np.random.RandomState(seed)
     idx = rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)
     cents = mat[np.sort(idx)].copy()
@@ -241,8 +404,9 @@ def ivf_topk(
     only in its `nprobe` nearest buckets. Per-bucket groups do a local
     exact top-k for the queries probing them; the final per-query
     reduce merges ≤ nprobe × k candidates. At 100 TB the bucket groupby
-    replaces the corpus broadcast entirely — each group holds ~1/n_lists
-    of the data and queries are the broadcast side."""
+    replaces any corpus broadcast — each group holds ~1/n_lists of the
+    data and queries are the broadcast side. Centroids are trained on a
+    bounded Ray-side sample; queries come from a pruned read."""
     import functools
     import os
 
@@ -250,10 +414,9 @@ def ivf_topk(
     import ray.data as rd
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ids, mat = load_matrix(path)
-    cents = _centroids(mat, n_lists)
-    sel = ids < n_queries
-    qids, qmat = ids[sel], mat[sel]
+    _, sample = sample_matrix(path, CENTROID_SAMPLE_ROWS)
+    cents = _centroids(sample, n_lists)
+    qids, qmat = load_queries(path, n_queries)
     # per-query probe lists (q, nprobe)
     probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
     cents_ref = ray.put(cents)
