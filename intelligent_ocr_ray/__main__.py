@@ -34,9 +34,21 @@ def cmd_run(args) -> int:
         print(f"invalid input: {msg}", file=sys.stderr)
         return 2
     ray = _ray_init(args.num_cpus)
+    progress_cb = None
+    if args.progress:
+        # in-run progress/ETA lines (A4 analog, core/parallel_ocr.py:492-504)
+        def progress_cb(info):
+            print(json.dumps({"event": "partition_done", **info}), flush=True)
+
     try:
         manifest = run_resumable(
-            args.input, args.out, DEFAULT_CONFIG, num_parts=args.num_parts
+            args.input,
+            args.out,
+            DEFAULT_CONFIG,
+            num_parts=args.num_parts,
+            partition_timeout_s=args.partition_timeout,
+            degraded_rerun=args.degraded_rerun,
+            progress_callback=progress_cb,
         )
         complete, n_in, n_out = audit_completeness(args.input, manifest)
         print(
@@ -53,6 +65,41 @@ def cmd_run(args) -> int:
         return 0 if complete else 1
     finally:
         ray.shutdown()
+
+
+def cmd_status(args) -> int:
+    """Inspect a (possibly running / partial) run directory — the
+    minimal job-status surface (S11 analog of the reference's
+    web/api/routes.py task-status endpoints, without the web chrome).
+    Reads only the manifest; no Ray session needed."""
+    import os
+
+    mpath = os.path.join(args.run_dir, "manifest.json")
+    if not os.path.isfile(mpath):
+        print(json.dumps({"ok": False, "detail": "no manifest.json"}))
+        return 2
+    with open(mpath, encoding="utf-8") as f:
+        data = json.load(f)
+    done = data.get("done", {})
+    num_parts = data.get("num_parts", 0)
+    degraded = sorted(int(k) for k, v in done.items() if v.get("profile"))
+    print(
+        json.dumps(
+            {
+                "ok": True,
+                "num_parts": num_parts,
+                "done": len(done),
+                "pending": [p for p in range(num_parts) if str(p) not in done],
+                "progress": len(done) / max(1, num_parts),
+                "rows": sum(v.get("rows", 0) for v in done.values()),
+                "seconds": round(sum(v.get("seconds", 0.0) for v in done.values()), 3),
+                "degraded_partitions": degraded,
+                "input_fp": data.get("input_fp"),
+                "config_fp": data.get("config_fp"),
+            }
+        )
+    )
+    return 0
 
 
 def cmd_validate(args) -> int:
@@ -86,7 +133,16 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--input", required=True)
     r.add_argument("--out", required=True)
     r.add_argument("--num-parts", type=int, default=32)
+    r.add_argument("--progress", action="store_true", help="print per-partition progress/ETA lines")
+    r.add_argument("--partition-timeout", type=float, default=None,
+                   help="inactivity watchdog: seconds without a partition commit before the attempt is abandoned")
+    r.add_argument("--degraded-rerun", action="store_true",
+                   help="rerun failed/hung partitions under the degraded profile ladder")
     r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("status", help="inspect a run directory's manifest")
+    s.add_argument("--run-dir", required=True)
+    s.set_defaults(fn=cmd_status)
 
     v = sub.add_parser("validate", help="check an input directory")
     v.add_argument("--input", required=True)

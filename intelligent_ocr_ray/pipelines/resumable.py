@@ -67,6 +67,121 @@ def _write_partition(group: pa.Table, out_dir: str) -> pa.Table:
     )
 
 
+def _attempt(
+    input_path: str,
+    manifest: RunManifest,
+    out_dir: str,
+    config: ExtractorConfig,
+    *,
+    num_parts: int,
+    batch_size: int,
+    concurrency,
+    salt_turns: int | None,
+    extract_fn,
+    partition_timeout_s: float | None,
+    progress_callback,
+    profile: str | None,
+    run_t0: float,
+    total_parts: int,
+) -> tuple[bool, Exception | None]:
+    """One pass over the manifest's pending partitions under one config
+    profile. Partitions are committed AS THEY COMPLETE (streaming
+    consumption of the per-partition summaries), so a crash or timeout
+    mid-attempt loses only in-flight work. Returns (completed, error):
+    completed=True means the pass drained every pending partition."""
+    import queue
+    import threading
+
+    pending = set(manifest.pending())
+    ds = read_transcripts(input_path)
+    ds = ds.map_batches(
+        add_partition_column,
+        fn_kwargs={"num_parts": num_parts, "salt_turns": salt_turns},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if len(pending) < num_parts:
+        # resume anti-join: done partitions never leave the read stage
+        ds = ds.map_batches(
+            _filter_pending(pending), batch_format="pyarrow", zero_copy_batch=True
+        )
+    extracted = extract_fn(ds, config, batch_size=batch_size, concurrency=concurrency)
+    # ExtractTurns drops auxiliary columns; recompute the partition key
+    # from (conv_id, turn_idx) — same deterministic hash + salt.
+    extracted = extracted.map_batches(
+        add_partition_column,
+        fn_kwargs={"num_parts": num_parts, "salt_turns": salt_turns},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    summaries = extracted.groupby("part").map_groups(
+        functools.partial(_write_partition, out_dir=out_dir),
+        batch_format="pyarrow",
+    )
+
+    # Streaming consumption with an inactivity watchdog (R4 analog of
+    # the reference's 1800 s per-task daemon-thread timeout,
+    # core/task_manager.py:288,313-332): the iterator runs in a helper
+    # thread; if no partition summary lands within partition_timeout_s
+    # the attempt is declared hung and abandoned (Ray's own task retries
+    # cover transient faults below this layer).
+    q: queue.Queue = queue.Queue()
+
+    def consume():
+        try:
+            for row in summaries.iter_rows():
+                q.put(("row", row))
+            q.put(("done", None))
+        except BaseException as e:  # noqa: BLE001 — surfaced to the driver loop
+            q.put(("err", e))
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    seen: set[int] = set()
+    while True:
+        try:
+            kind, payload = q.get(timeout=partition_timeout_s)
+        except queue.Empty:
+            return False, TimeoutError(
+                f"no partition completed within {partition_timeout_s}s"
+            )
+        if kind == "err":
+            return False, payload
+        if kind == "done":
+            break
+        part = int(payload["part"])
+        manifest.commit_partition(
+            part,
+            payload["tmp_dir"],
+            int(payload["rows"]),
+            float(payload["seconds"]),
+            profile=profile,
+        )
+        seen.add(part)
+        if progress_callback is not None:
+            done_n = len(manifest.done)
+            elapsed = time.perf_counter() - run_t0
+            rate = done_n / elapsed if elapsed > 0 else 0.0
+            progress_callback(
+                {
+                    "partition": part,
+                    "done": done_n,
+                    "total": total_parts,
+                    "rows": manifest.total_rows(),
+                    "elapsed_s": round(elapsed, 3),
+                    "eta_s": round((total_parts - done_n) / rate, 3) if rate else None,
+                    "profile": profile,
+                }
+            )
+    # partitions with no rows at all still count as done (empty)
+    for part in sorted(pending - seen):
+        tmp = os.path.join(out_dir, f"_tmp-part={part:04d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        manifest.commit_partition(part, tmp, 0, 0.0, profile=profile)
+    return True, None
+
+
 def run_resumable(
     input_path: str,
     out_dir: str,
@@ -76,6 +191,10 @@ def run_resumable(
     batch_size: int = 4096,
     concurrency: int | tuple[int, int] | None = None,
     salt_turns: int | None = None,
+    partition_timeout_s: float | None = None,
+    degraded_rerun: bool = False,
+    extract_fn=extract_dataset,
+    progress_callback=None,
 ) -> RunManifest:
     """Run (or resume) the flagship extraction into a partitioned,
     manifest-tracked output directory. Idempotent: a complete run
@@ -90,57 +209,65 @@ def run_resumable(
     (conv_id, turn_idx)-sorted, but a conversation's chunks now span
     partitions — consumers needing whole-conversation contiguity must
     merge chunks (read_output(...).sort(...)), the documented partial-
-    order trade every salted layout makes."""
+    order trade every salted layout makes.
+
+    ``partition_timeout_s`` (R4): inactivity watchdog — if no partition
+    commits within the budget the attempt is declared hung and abandoned
+    (core/task_manager.py:288,313-332 analog). ``degraded_rerun`` (task-
+    level R3, desktop/workers.py:357-389 analog): after a failed or hung
+    attempt, the STILL-PENDING partitions are rerun under each
+    progressively-degraded ladder profile (functions.extract.
+    degraded_ladder); partitions recovered that way carry a ``profile``
+    lineage entry in the manifest. Committed partitions are never
+    reprocessed — commits stream as partitions complete.
+
+    ``extract_fn(ds, config, *, batch_size, concurrency)``: extension
+    hook (§2.11) for a custom extraction stage; defaults to the unified
+    extractor. ``progress_callback(info_dict)``: in-run progress/ETA
+    surface (A4 analog of core/parallel_ocr.py:492-504), invoked after
+    every partition commit."""
+    from ..functions.extract import degraded_ladder
+
     files = list_parquet_files(input_path)
     in_fp = input_fingerprint(files)
     config_fp = config.fingerprint() + (f"+salt{salt_turns}" if salt_turns else "")
     manifest = RunManifest(out_dir, num_parts, in_fp, config_fp)
-    pending = set(manifest.pending())
-    if not pending:
+    if not manifest.pending():
         return manifest
 
-    ds = read_transcripts(input_path)
-    ds = ds.map_batches(
-        add_partition_column,
-        fn_kwargs={"num_parts": num_parts, "salt_turns": salt_turns},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    if len(pending) < num_parts:
-        # resume anti-join: done partitions never leave the read stage
-        ds = ds.map_batches(
-            _filter_pending(pending), batch_format="pyarrow", zero_copy_batch=True
+    run_t0 = time.perf_counter()
+    profiles: list[tuple[str | None, ExtractorConfig]] = [(None, config)]
+    if degraded_rerun:
+        profiles += [
+            (f"degraded[{k}]:{cfg.fingerprint()}", cfg)
+            for k, cfg in enumerate(degraded_ladder(config))
+        ]
+    last_err: Exception | None = None
+    for profile, cfg in profiles:
+        if not manifest.pending():
+            break
+        completed, last_err = _attempt(
+            input_path,
+            manifest,
+            out_dir,
+            cfg,
+            num_parts=num_parts,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            salt_turns=salt_turns,
+            extract_fn=extract_fn,
+            partition_timeout_s=partition_timeout_s,
+            progress_callback=progress_callback,
+            profile=profile,
+            run_t0=run_t0,
+            total_parts=num_parts,
         )
-    extracted = extract_dataset(
-        ds, config, batch_size=batch_size, concurrency=concurrency
-    )
-    # ExtractTurns drops auxiliary columns; recompute the partition key
-    # from (conv_id, turn_idx) — same deterministic hash + salt.
-    extracted = extracted.map_batches(
-        add_partition_column,
-        fn_kwargs={"num_parts": num_parts, "salt_turns": salt_turns},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    summaries = (
-        extracted.groupby("part")
-        .map_groups(
-            functools.partial(_write_partition, out_dir=out_dir),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    )
-
-    seen = set()
-    for s in summaries:
-        manifest.commit_partition(int(s["part"]), s["tmp_dir"], int(s["rows"]), float(s["seconds"]))
-        seen.add(int(s["part"]))
-    # partitions with no rows at all still count as done (empty)
-    for part in sorted(pending - seen):
-        tmp = os.path.join(out_dir, f"_tmp-part={part:04d}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
-        manifest.commit_partition(part, tmp, 0, 0.0)
+        if completed:
+            break
+    if manifest.pending() and last_err is not None:
+        raise RuntimeError(
+            f"{len(manifest.pending())} partitions failed every profile"
+        ) from last_err
 
     # run metrics (S8 JSONL-log analog): per-(status, route) counters of
     # the committed output, one parquet per run under metrics/

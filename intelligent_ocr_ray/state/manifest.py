@@ -179,16 +179,30 @@ class RunManifest:
     def partition_dir(self, part: int) -> str:
         return os.path.join(self.out_dir, f"part={part:04d}")
 
-    def commit_partition(self, part: int, tmp_dir: str, rows: int, seconds: float) -> None:
+    def commit_partition(
+        self,
+        part: int,
+        tmp_dir: str,
+        rows: int,
+        seconds: float,
+        profile: str | None = None,
+    ) -> None:
         """Atomically promote tmp_dir → part dir and record the lineage
-        row (rows, wall seconds, fingerprints are manifest-level)."""
+        row (rows, wall seconds; ``profile`` marks partitions that were
+        recovered under a degraded rerun config — the task-level R3
+        analog of the reference's degraded-profile rerun,
+        desktop/workers.py:357-389 — so lineage shows which partitions
+        took a lower-fidelity pass)."""
         final = self.partition_dir(part)
         if os.path.exists(final):
             import shutil
 
             shutil.rmtree(final)
         os.rename(tmp_dir, final)
-        self.done[part] = {"rows": rows, "seconds": round(seconds, 3)}
+        entry = {"rows": rows, "seconds": round(seconds, 3)}
+        if profile:
+            entry["profile"] = profile
+        self.done[part] = entry
         self._save()
 
     def total_rows(self) -> int:
