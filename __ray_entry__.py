@@ -131,8 +131,8 @@ def _q_token_stats_bpe(sf_dir: str):
 
 def _q_lang_id_ngram(sf_dir: str):
     """Statistical char-trigram language-ID (Cavnar–Trenkle-style
-    miniature profiles); rows-only — the rule-based lang_id is the
-    oracle-checkable variant."""
+    miniature profiles); DuckDB-oracled — hit counting is the
+    replace-trick on lower(text), tie-break mirrored in CASE order."""
     from intelligent_ocr_ray.stages.text_stats import NgramLangId
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -313,9 +313,9 @@ def _q_conv_stats(sf_dir: str):
 
 def _q_status_profile(sf_dir: str):
     """Run-summary counters over the flagship extraction (processed /
-    skipped / fallback per route). Route assignment is extractor
-    semantics → rows-only; per-block partial counts keep the shuffle at
-    O(blocks × keys)."""
+    skipped / fallback per route), DuckDB-oracled: route predicates +
+    pdfish layout-grammar check re-expressed in SQL. Per-block partial
+    counts keep the shuffle at O(blocks × keys)."""
     from intelligent_ocr_ray.pipelines.metrics import status_profile
 
     ds = transcripts_from_documents(sf_dir)
@@ -444,9 +444,89 @@ WHERE is_blank OR (NOT is_pdfish AND NOT is_html AND length(s) > 50)
 _TOKEN_RE_SQL = r"'[^ \t\r\n]+'"
 
 
+def _ngram_lang_sql() -> str:
+    """lang_id_ngram oracle, generated from the SAME profile tables the
+    stage uses. Non-overlapping substring counts via the replace trick
+    (≡ str.count ≡ pc.count_substring); first-profile-wins tie-break via
+    CASE order; cjk short-circuit identical to the stage."""
+    from intelligent_ocr_ray.stages.text_stats import _LANG_PROFILES
+
+    hit_cols = []
+    for lang, grams in _LANG_PROFILES.items():
+        terms = " + ".join(
+            f"(length(lt) - length(replace(lt, '{g}', ''))) // {len(g)}"
+            for g in grams
+        )
+        hit_cols.append(f"({terms}) AS h_{lang}")
+    langs = list(_LANG_PROFILES)
+    g4 = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    whens = "\n".join(
+        f"WHEN h_{l} = {g4} THEN '{l}'" for l in langs[:-1]
+    )
+    return f"""
+        WITH l AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
+        h AS (SELECT doc_id, text, {", ".join(hit_cols)} FROM l)
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '[一-龥぀-ゟ゠-ヿ]') THEN 'cjk'
+                    WHEN {g4} <= 0 THEN 'other'
+                    {whens}
+                    ELSE '{langs[-1]}' END AS lang_ngram
+        FROM h
+    """
+
+
+# Layout-line grammar for the pdfish status branch of the
+# status_profile oracle (RE2 form of functions/extract.py's
+# _LAYOUT_LINE_RE; ASCII classes — \s/\d in Python match a few unicode
+# extras, none of which appear in ASCII-whitespace layout payloads).
+_NUM = r"-?\d+(\.\d+)?"
+_LAYOUT_LINE_SQL = f"'^[ \\t\\r\\n]*({_NUM},){{4}}{_NUM}\\|'"
+
+_STATUS_PROFILE_SQL = f"""
+WITH t AS ({SQL_DERIVATION}),
+r AS (SELECT text, trim(text, {_WS_TRIM}) AS s FROM t),
+c AS (
+  SELECT text, s,
+         (s = '' OR regexp_matches(s, {_NOISE_RE})) AS is_blank,
+         starts_with(s, '%LAYOUT') AS is_pdfish,
+         (regexp_matches(text, {_HTML_OPEN_RE})
+          AND regexp_matches(text, {_HTML_CLOSE_RE})) AS is_html
+  FROM r
+),
+p AS (
+  SELECT *,
+         -- pdfish parses iff line 1 is exactly %LAYOUT and every later
+         -- non-blank line matches the layout grammar (strict profile;
+         -- a failed parse emits route='error', status='fallback')
+         is_pdfish AND (
+           trim(string_split(s, chr(10))[1], {_WS_TRIM}) = '%LAYOUT'
+           AND len(list_filter(string_split(s, chr(10))[2:],
+                    x -> trim(x, {_WS_TRIM}) <> ''
+                         AND NOT regexp_matches(x, {_LAYOUT_LINE_SQL}))) = 0
+         ) AS pdfish_ok
+  FROM c
+),
+cls AS (
+  SELECT CASE WHEN is_blank THEN 'blank'
+              WHEN is_pdfish AND NOT pdfish_ok THEN 'error'
+              WHEN is_pdfish THEN 'pdfish'
+              WHEN is_html THEN 'html'
+              WHEN length(s) > 50 THEN 'plain_long'
+              ELSE 'plain' END AS route,
+         CASE WHEN is_blank THEN 'skipped'
+              WHEN is_pdfish AND NOT pdfish_ok THEN 'fallback'
+              ELSE 'ok' END AS status
+  FROM p
+)
+SELECT status, route, count(*) AS n FROM cls GROUP BY status, route
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_passthrough": _PASSTHROUGH_SQL,
+        "status_profile": _STATUS_PROFILE_SQL,
+        "lang_id_ngram": _ngram_lang_sql(),
         "token_stats": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS n_tokens,

@@ -569,30 +569,153 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
-def dedup_corpus(ds, pairs_ds, *, id_col: str = "doc_id"):
+def connected_components_distributed(
+    pairs_ds, *, num_partitions: int = 8, max_rounds: int = 50
+):
+    """Distributed connected components over the near-dup pair graph:
+    iterative min-label propagation, every round one hash-join keyed by
+    node id — no single machine ever holds the edge list.
+
+    Round r: label(x) ← min(label(x), min over neighbors label(n));
+    converges in O(component diameter) rounds (near-dup components are
+    cliquish, so typically 1-2). Each round materializes the O(nodes)
+    label table to truncate lineage; the driver only sees the scalar
+    converged-change count. Returns a Dataset (node, rep)."""
+    from ray.data.aggregate import Min
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").combine_chunks() if isinstance(t.column("doc_a"), pa.ChunkedArray) else t.column("doc_a")
+        b = t.column("doc_b").combine_chunks() if isinstance(t.column("doc_b"), pa.ChunkedArray) else t.column("doc_b")
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                "dst": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    # init: label(x) = min(x, min neighbor) — one groupby, also the
+    # distinct-node table
+    labels = (
+        edges.groupby("src")
+        .aggregate(Min("dst", alias_name="nbr_min"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("src"),
+                    "rep": pc.min_element_wise(t.column("src"), t.column("nbr_min")),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # candidate label per node = min label among its neighbors
+        cand = (
+            edges.join(
+                labels,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+                right_on=("node",),
+            )
+            .groupby("dst")
+            .aggregate(Min("rep", alias_name="cand"))
+        )
+        merged = labels.join(
+            cand,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("node",),
+            right_on=("dst",),
+        )
+
+        def step(t: pa.Table) -> pa.Table:
+            new = pc.min_element_wise(
+                t.column("rep"), t.column("cand").fill_null(np.iinfo(np.int64).max)
+            )
+            changed = pc.cast(pc.not_equal(new, t.column("rep")), pa.int64())
+            return pa.table(
+                {"node": t.column("node"), "rep": new, "changed": changed}
+            )
+
+        stepped = merged.map_batches(
+            step, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        n_changed = stepped.sum("changed")
+        labels = stepped.drop_columns(["changed"]).materialize()
+        if not n_changed:
+            break
+    return labels
+
+
+def dedup_corpus(
+    ds, pairs_ds, *, id_col: str = "doc_id", driver_pair_limit: int = 1_000_000
+):
     """Remove near-duplicates: keep the min-id representative of each
-    connected component of the pair graph, drop the rest. The component
-    map is broadcast via ray.put (O(near-dups), not O(corpus)) and
-    applied as a vectorized filter per batch."""
+    connected component of the pair graph, drop the rest.
+
+    Two physical paths behind one semantic:
+    * pair graph fits the driver (≤ driver_pair_limit edges — the usual
+      case, only near-duplicates appear): union-find on the driver, drop
+      set broadcast via ray.put, vectorized filter per batch;
+    * bigger (a dirty corpus at 100 TB): distributed min-label
+      propagation (connected_components_distributed) and a hash-join
+      anti-filter — nothing O(edges) or O(corpus) ever on the driver."""
     import ray
 
-    pairs_df = pairs_ds.to_pandas()
-    comp = connected_components(list(zip(pairs_df.doc_a, pairs_df.doc_b)))
-    drop = {doc for doc, rep in comp.items() if doc != rep}
-    drop_ref = ray.put(np.fromiter(drop, dtype=np.int64, count=len(drop)))
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() <= driver_pair_limit:
+        pairs_df = pairs_ds.to_pandas()
+        comp = connected_components(list(zip(pairs_df.doc_a, pairs_df.doc_b)))
+        drop = {doc for doc, rep in comp.items() if doc != rep}
+        drop_ref = ray.put(np.fromiter(drop, dtype=np.int64, count=len(drop)))
 
-    class FilterDups:
-        def __init__(self):
-            self.drop = ray.get(drop_ref)
+        class FilterDups:
+            def __init__(self):
+                self.drop = ray.get(drop_ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col))
-            keep = ~np.isin(ids, self.drop)
-            return batch.filter(pa.array(keep))
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = np.asarray(batch.column(id_col))
+                keep = ~np.isin(ids, self.drop)
+                return batch.filter(pa.array(keep))
 
-    return ds.map_batches(
-        FilterDups, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=2, num_cpus=0.5,
+        return ds.map_batches(
+            FilterDups, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=2, num_cpus=0.5,
+        )
+
+    labels = connected_components_distributed(pairs_ds)
+    drops = labels.filter(expr="node != rep").map_batches(
+        # explicit match marker: the join drops the right key column
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "is_dup": pa.nulls(t.num_rows, pa.int8()).fill_null(1),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = ds.join(
+        drops,
+        join_type="left_outer",
+        num_partitions=8,
+        on=(id_col,),
+        right_on=("node",),
+    )
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        # left_outer: non-duplicates have no match → is_dup is null
+        return t.filter(pc.is_null(t.column("is_dup"))).drop_columns(["is_dup"])
+
+    return joined.map_batches(
+        keep_unmatched, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -121,13 +121,26 @@ _LANG_PROFILES = {
 class NgramLangId:
     """Actor-pool stage: char-trigram profile scoring → `lang_ngram`
     column ('cjk' short-circuits on codepoint class; otherwise the
-    profile with the most trigram hits, 'other' if nothing scores)."""
+    profile with the most trigram hits, FIRST profile wins ties in
+    declaration order, 'other' if nothing scores).
+
+    Vectorized: one `pc.count_substring` kernel per (lang, gram) over
+    the whole column — 40 Arrow kernel calls per batch instead of 40
+    Python `str.count` calls per ROW. Substring counting is
+    non-overlapping left-to-right in str.count, Arrow and the DuckDB
+    replace-trick alike, so all three agree exactly; `utf8_lower` uses
+    utf8proc's SIMPLE case mapping (= DuckDB's lower(), the oracle
+    side), which differs from Python str.lower() only on full-mapping
+    exotics like U+0130 — the serial `_score` path is the pytest
+    reference on the fixture corpus."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.profiles = {k: tuple(v) for k, v in _LANG_PROFILES.items()}
+        self.langs = list(self.profiles)
 
     def _score(self, text: str) -> str:
+        """Serial reference (per-row Python) — used by tests only."""
         t = text.lower()
         best, best_hits = "other", 0
         for lang, grams in self.profiles.items():
@@ -141,11 +154,23 @@ class NgramLangId:
         is_cjk = np.asarray(
             pc.match_substring_regex(text, CJK_PATTERN_PY).fill_null(False)
         )
-        out = np.empty(len(text), dtype=object)
-        vals = text.to_pylist()
-        for i, t in enumerate(vals):
-            out[i] = "cjk" if is_cjk[i] else self._score(t or "")
-        return batch.append_column("lang_ngram", pa.array(list(out), pa.string()))
+        lt = pc.utf8_lower(text)
+        hits = np.stack(
+            [
+                np.sum(
+                    [np.asarray(pc.count_substring(lt, g).fill_null(0)) for g in grams],
+                    axis=0,
+                )
+                for grams in self.profiles.values()
+            ]
+        )  # (n_langs, n_rows)
+        best = np.argmax(hits, axis=0)  # first max wins = declaration order
+        mx = hits.max(axis=0)
+        lang = np.where(mx <= 0, "other", np.array(self.langs, dtype=object)[best])
+        lang = np.where(is_cjk, "cjk", lang)
+        return batch.append_column(
+            "lang_ngram", pa.array(list(lang), pa.string())
+        )
 
 import hashlib
 import re as _re

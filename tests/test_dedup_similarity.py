@@ -291,3 +291,43 @@ def test_sample_matrix_bounded_and_deterministic():
     # full-table path (target >= n) returns everything, sorted by id
     ids3, _ = sample_matrix(f"{SF}/embeddings.parquet", 10_000)
     assert len(ids3) == 500 and np.all(np.diff(ids3) > 0)
+
+
+def test_distributed_components_equal_union_find():
+    """Min-label propagation (Dataset joins) ≡ driver union-find,
+    including a chain component whose diameter forces several rounds."""
+    from intelligent_ocr_ray.stages.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21), (7, 3)]
+    pairs_ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+    )
+    labels = connected_components_distributed(pairs_ds).to_pandas()
+    got = dict(zip(labels.node, labels.rep))
+    want = connected_components(pairs)
+    assert got == want
+
+
+def test_dedup_corpus_distributed_path_equals_driver_path():
+    from intelligent_ocr_ray.stages.dedup import dedup_corpus, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_ds(), threshold=0.5)
+    via_driver = sorted(
+        r["doc_id"] for r in dedup_corpus(_docs_ds(), pairs).select_columns(["doc_id"]).take_all()
+    )
+    via_joins = sorted(
+        r["doc_id"]
+        for r in dedup_corpus(_docs_ds(), pairs, driver_pair_limit=0)
+        .select_columns(["doc_id"])
+        .take_all()
+    )
+    assert via_driver == via_joins
+    assert len(via_driver) < 500  # something was actually dropped

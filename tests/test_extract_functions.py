@@ -240,3 +240,24 @@ def test_low_conf_all_filtered():
     assert ext.status == "ok"
     assert ext.extracted_text == ""
     assert ext.spans == []
+
+
+def test_ngram_lang_id_vectorized_equals_serial():
+    """Vectorized Arrow scoring ≡ the per-row Python reference (_score)
+    over the mixed fixture corpus."""
+    from intelligent_ocr_ray.sources.transcripts import generate_transcripts
+    from intelligent_ocr_ray.stages.text_stats import NgramLangId
+
+    t = generate_transcripts(60, seed=17)
+    stage = NgramLangId()
+    got = stage(t).column("lang_ngram").to_pylist()
+    import pyarrow.compute as pc
+
+    is_cjk = pc.match_substring_regex(
+        t.column("text"), "[一-龥぀-ゟ゠-ヿ]"
+    ).fill_null(False).to_pylist()
+    want = [
+        "cjk" if c else stage._score(x or "")
+        for x, c in zip(t.column("text").to_pylist(), is_cjk)
+    ]
+    assert got == want

@@ -87,3 +87,52 @@ def test_completeness_by_conv_detects_loss():
 
     ok = completeness_by_conv(rd.from_arrow(t_in), rd.from_arrow(t_in)).to_pandas()
     assert len(ok) == 0
+
+
+def test_status_profile_oracle_covers_parse_routes(tmp_path):
+    """The driver's documents tables contain only plain rows, so the
+    pdfish/html/error branches of the status_profile oracle SQL never
+    fire there — exercise them here on a mixed corpus (pdfish ok,
+    poisoned pdfish → fallback, html, blank, CJK plain)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from intelligent_ocr_ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(80, seed=23)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(t.num_rows), pa.int64()),
+            "text": t.column("text"),
+        }
+    )
+    pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
+
+    import __ray_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["status_profile"](str(tmp_path))
+        .to_pandas()
+        .sort_values(["status", "route"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.sql(entrymod.oracle_sql()["status_profile"])
+        .df()
+        .sort_values(["status", "route"])
+        .reset_index(drop=True)
+    )
+    got["n"] = got["n"].astype("int64")
+    want["n"] = want["n"].astype("int64")
+    assert got.to_dict("records") == want.to_dict("records")
+    # all the interesting branches actually appeared
+    routes = set(got["route"])
+    assert {"pdfish", "html", "blank", "error", "plain"} <= routes
+    assert "fallback" in set(got["status"])
