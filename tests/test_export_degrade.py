@@ -152,3 +152,37 @@ def test_export_roundtrip(tmp_path):
     back = rd.read_parquet(str(tmp_path / "txt")).to_pandas()
     assert len(back) == 2
     assert set(back.columns) == {"conv_id", "n_turns", "content"}
+
+
+def test_export_md_media_writes_sidecars(tmp_path):
+    """S7 full analog: markdown embeds relative media links and the
+    worker writes the media bytes as sidecar files."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intelligent_ocr_ray.pipelines.export import export_md_media
+    from intelligent_ocr_ray.stages.multimodal import fake_image_bytes
+
+    rows = {
+        "conv_id": pa.array(["a", "a", "b"], pa.string()),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "role": pa.array(["user", "assistant", "user"], pa.string()),
+        "extracted_text": pa.array(["hello", "world", "solo"], pa.string()),
+        "image": pa.array([fake_image_bytes(1), None, fake_image_bytes(2)], pa.binary()),
+    }
+    out = str(tmp_path / "md")
+    conv = export_md_media(rd.from_arrow(pa.table(rows)), out).to_pandas()
+    conv = conv.set_index("conv_id")
+    assert conv.loc["a", "n_media"] == 1 and conv.loc["b", "n_media"] == 1
+    a = conv.loc["a", "content"]
+    assert "## turn 0 (user)" in a and "hello" in a
+    assert "![turn 0](media/a/turn-00000.bin)" in a
+    assert "![turn 1]" not in a  # null media → text-only block
+    with open(os.path.join(out, "media", "a", "turn-00000.bin"), "rb") as f:
+        assert f.read() == fake_image_bytes(1)
+    # the parquet view is also written
+    import glob
+
+    assert glob.glob(os.path.join(out, "*.parquet"))
