@@ -6,7 +6,12 @@ Prints ONE JSON line:
 
 Headline = flagship per-turn extraction (turns/sec) over a
 deterministically generated transcripts table sized to the sf dir
-(cached under /tmp, generation excluded from timing).
+(cached under /tmp, generation excluded from timing). The headline
+pipeline is the FUSED PARTITIONED layout (run_resumable
+fuse_extract=True: one narrow-input hash shuffle → per-partition
+sort+extract+write, zstd, manifest commits) — the cluster-scale path;
+the global-sort ordered flagship is timed separately as
+`flagship_global_sort`.
 
 --scaling: runs the plain bench twice in FRESH processes at
 RAY_GRAFT_CPUS=8 and =32 on the same input and reports both
@@ -77,6 +82,7 @@ def run_bench() -> dict:
     ).count()
 
     from intelligent_ocr_ray.pipelines.extract import flagship, write_extracted
+    from intelligent_ocr_ray.pipelines.resumable import run_resumable
 
     results: dict[str, float] = {}
 
@@ -84,15 +90,34 @@ def run_bench() -> dict:
     # a single timing can be 2-4× off on a bad neighbor window
     import shutil
 
+    # Headline: fused partitioned extraction. Fixed layout at every CPU
+    # level (same job, two cluster sizes): 256 hash partitions, 64 read
+    # blocks — the shuffle's cost scales with map×reduce block pairs and
+    # this pairing measured best across 2/8/32 CPUs (BENCH/BASELINE.md).
     headline = float("inf")
     for trial in range(2):
         out_dir = f"/tmp/ior_bench_out/cpus{NUM_CPUS}_t{trial}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        ds = flagship(src, ordered=True, batch_size=8192)
-        write_extracted(ds, out_dir)
+        run_resumable(
+            src, out_dir, num_parts=256, fuse_extract=True, read_num_blocks=64
+        )
         headline = min(headline, time.perf_counter() - t0)
     results["flagship_extract"] = round(headline, 3)
+
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+
+    if not headline_only:
+        # secondary: the global-sort ordered flagship (single
+        # totally-ordered output stream; the single-job path)
+        gs = float("inf")
+        for trial in range(2):
+            out_dir = f"/tmp/ior_bench_out/gs_cpus{NUM_CPUS}_t{trial}"
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            write_extracted(flagship(src, ordered=True, batch_size=8192), out_dir)
+            gs = min(gs, time.perf_counter() - t0)
+        results["flagship_global_sort"] = round(gs, 3)
 
     # secondary pipelines (smaller weight, still timed)
     import __ray_entry__ as entrymod
@@ -106,7 +131,7 @@ def run_bench() -> dict:
         "minhash_dups",
         "ann_topk",
     ):
-        if name not in qs:
+        if name not in qs or headline_only:
             continue
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
@@ -174,7 +199,7 @@ def run_scaling() -> dict:
     hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", str(lo_cpus * 4)))
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -36,6 +36,12 @@ from ..state.manifest import RunManifest, input_fingerprint, list_parquet_files
 from .extract import extract_dataset, read_transcripts
 from .ordering import add_partition_column, sort_within_batch
 
+# Partition files are zstd-compressed: extracted text compresses ~25%
+# smaller than snappy at comparable encode speed, and the write path is
+# disk-bandwidth-sensitive at high parallelism (measured: 16M-turn fused
+# run 21-24 s snappy → 18.3 s zstd at 32 CPUs; BENCH/BASELINE.md).
+PARTITION_CODEC = "zstd"
+
 
 def _filter_pending(pending: set[int]):
     def f(t: pa.Table) -> pa.Table:
@@ -43,6 +49,58 @@ def _filter_pending(pending: set[int]):
         return t.filter(mask)
 
     return f
+
+
+def _profile_counters(body: pa.Table) -> str:
+    """JSON {'status|route': n} counters for one partition's output —
+    the in-pass ProcessResult accumulation (core/pdf_processor.py:37-102
+    analog): metrics ride the summary row instead of a second full read
+    of the output."""
+    import json as _json
+
+    g = body.group_by(["status", "route"]).aggregate([([], "count_all")])
+    return _json.dumps(
+        {
+            f"{st}|{rt}": int(n)
+            for st, rt, n in zip(
+                g.column("status").to_pylist(),
+                g.column("route").to_pylist(),
+                g.column("count_all").to_pylist(),
+            )
+        }
+    )
+
+
+def _extract_write_partition(
+    group: pa.Table, out_dir: str, config: ExtractorConfig, use_ladder: bool
+) -> pa.Table:
+    """FUSED partition task: sort the narrow input partition, run the
+    (process-cached) extractor, write — one task does everything for its
+    partition. This is the scale-out layout: the only exchange in the
+    whole job is the narrow input's hash-partition shuffle on an int
+    key; per-partition sort/extract/write are embarrassingly parallel
+    with no barrier, so the fixed sort-floor of the global-order path
+    disappears. Output rows are identical to the unfused path (same
+    in-partition (conv_id, turn_idx) order, same extractor)."""
+    from ..stages.extractor import extract_batch
+
+    t0 = time.perf_counter()
+    part = int(group.column("part")[0].as_py())
+    narrow = sort_within_batch(group.drop_columns(["part"]))
+    body = extract_batch(narrow, config, use_ladder=use_ladder)
+    tmp = os.path.join(out_dir, f"_tmp-part={part:04d}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(body, os.path.join(tmp, "data.parquet"), compression=PARTITION_CODEC)
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int32()),
+            "rows": pa.array([body.num_rows], pa.int64()),
+            "tmp_dir": pa.array([tmp], pa.string()),
+            "seconds": pa.array([time.perf_counter() - t0], pa.float64()),
+            "counters": pa.array([_profile_counters(body)], pa.string()),
+        }
+    )
 
 
 def _write_partition(group: pa.Table, out_dir: str) -> pa.Table:
@@ -56,13 +114,14 @@ def _write_partition(group: pa.Table, out_dir: str) -> pa.Table:
     tmp = os.path.join(out_dir, f"_tmp-part={part:04d}")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
-    pq.write_table(body, os.path.join(tmp, "data.parquet"))
+    pq.write_table(body, os.path.join(tmp, "data.parquet"), compression=PARTITION_CODEC)
     return pa.table(
         {
             "part": pa.array([part], pa.int32()),
             "rows": pa.array([body.num_rows], pa.int64()),
             "tmp_dir": pa.array([tmp], pa.string()),
             "seconds": pa.array([time.perf_counter() - t0], pa.float64()),
+            "counters": pa.array([_profile_counters(body)], pa.string()),
         }
     )
 
@@ -83,6 +142,9 @@ def _attempt(
     profile: str | None,
     run_t0: float,
     total_parts: int,
+    fuse_extract: bool,
+    use_ladder: bool,
+    read_num_blocks: int | None,
 ) -> tuple[bool, Exception | None]:
     """One pass over the manifest's pending partitions under one config
     profile. Partitions are committed AS THEY COMPLETE (streaming
@@ -93,7 +155,7 @@ def _attempt(
     import threading
 
     pending = set(manifest.pending())
-    ds = read_transcripts(input_path)
+    ds = read_transcripts(input_path, read_num_blocks)
     ds = ds.map_batches(
         add_partition_column,
         fn_kwargs={"num_parts": num_parts, "salt_turns": salt_turns},
@@ -105,19 +167,36 @@ def _attempt(
         ds = ds.map_batches(
             _filter_pending(pending), batch_format="pyarrow", zero_copy_batch=True
         )
-    extracted = extract_fn(ds, config, batch_size=batch_size, concurrency=concurrency)
-    # ExtractTurns drops auxiliary columns; recompute the partition key
-    # from (conv_id, turn_idx) — same deterministic hash + salt.
-    extracted = extracted.map_batches(
-        add_partition_column,
-        fn_kwargs={"num_parts": num_parts, "salt_turns": salt_turns},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    summaries = extracted.groupby("part").map_groups(
-        functools.partial(_write_partition, out_dir=out_dir),
-        batch_format="pyarrow",
-    )
+    if fuse_extract and extract_fn is extract_dataset:
+        # fused layout: shuffle the NARROW input by the int partition
+        # key, then sort+extract+write inside each partition task — no
+        # global sort, no second wide shuffle, no barrier between
+        # partitions (the 100-TB layout; see _extract_write_partition)
+        summaries = ds.groupby("part").map_groups(
+            functools.partial(
+                _extract_write_partition,
+                out_dir=out_dir,
+                config=config,
+                use_ladder=use_ladder,
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        extracted = extract_fn(
+            ds, config, batch_size=batch_size, concurrency=concurrency
+        )
+        # ExtractTurns drops auxiliary columns; recompute the partition
+        # key from (conv_id, turn_idx) — same deterministic hash + salt.
+        extracted = extracted.map_batches(
+            add_partition_column,
+            fn_kwargs={"num_parts": num_parts, "salt_turns": salt_turns},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        summaries = extracted.groupby("part").map_groups(
+            functools.partial(_write_partition, out_dir=out_dir),
+            batch_format="pyarrow",
+        )
 
     # Streaming consumption with an inactivity watchdog (R4 analog of
     # the reference's 1800 s per-task daemon-thread timeout,
@@ -142,6 +221,15 @@ def _attempt(
         try:
             kind, payload = q.get(timeout=partition_timeout_s)
         except queue.Empty:
+            # best-effort cancel of the hung execution (the Dataset's
+            # own cleanup path: _current_executor.shutdown(force=True))
+            # so abandoned tasks don't outlive the attempt
+            try:
+                ex = summaries._current_executor
+                if ex is not None:
+                    ex.shutdown(force=True)
+            except Exception:  # noqa: BLE001 — cancellation is advisory
+                pass
             return False, TimeoutError(
                 f"no partition completed within {partition_timeout_s}s"
             )
@@ -156,6 +244,7 @@ def _attempt(
             int(payload["rows"]),
             float(payload["seconds"]),
             profile=profile,
+            counters=payload.get("counters"),
         )
         seen.add(part)
         if progress_callback is not None:
@@ -195,6 +284,9 @@ def run_resumable(
     degraded_rerun: bool = False,
     extract_fn=extract_dataset,
     progress_callback=None,
+    fuse_extract: bool = False,
+    use_ladder: bool = False,
+    read_num_blocks: int | None = None,
 ) -> RunManifest:
     """Run (or resume) the flagship extraction into a partitioned,
     manifest-tracked output directory. Idempotent: a complete run
@@ -225,7 +317,17 @@ def run_resumable(
     hook (§2.11) for a custom extraction stage; defaults to the unified
     extractor. ``progress_callback(info_dict)``: in-run progress/ETA
     surface (A4 analog of core/parallel_ocr.py:492-504), invoked after
-    every partition commit."""
+    every partition commit.
+
+    ``fuse_extract=True``: the scale-out fast path — ONE narrow-input
+    hash shuffle on the int partition key, then sort + extract + write
+    fused inside each partition task (no global sort, no wide shuffle,
+    no inter-partition barrier). Identical output rows; requires the
+    default extract_fn. ``use_ladder`` enables the per-row R3 ladder in
+    the fused extractor. ``read_num_blocks`` controls the read/map block
+    count — the partition shuffle's cost scales with map-block ×
+    reduce-partition PAIRS, and ~2× the CPU count measured best
+    (BENCH/BASELINE.md)."""
     from ..functions.extract import degraded_ladder
 
     files = list_parquet_files(input_path)
@@ -261,6 +363,9 @@ def run_resumable(
             profile=profile,
             run_t0=run_t0,
             total_parts=num_parts,
+            fuse_extract=fuse_extract,
+            use_ladder=use_ladder,
+            read_num_blocks=read_num_blocks,
         )
         if completed:
             break
@@ -269,16 +374,28 @@ def run_resumable(
             f"{len(manifest.pending())} partitions failed every profile"
         ) from last_err
 
-    # run metrics (S8 JSONL-log analog): per-(status, route) counters of
-    # the committed output, one parquet per run under metrics/
+    # run metrics (S8 JSONL-log analog): per-(status, route) counters,
+    # aggregated from the counters each partition task computed IN-PASS
+    # (no second read of the committed output — at 16M turns the old
+    # re-read pass alone cost more than the whole extraction)
     try:
-        from .metrics import status_profile, write_run_metrics
-
-        write_run_metrics(
-            status_profile(read_output(out_dir)),
-            os.path.join(out_dir, "metrics", "run_metrics.parquet"),
-            {"run_id": in_fp, "config_fp": config.fingerprint()},
-        )
+        counts = manifest.profile_counts()
+        if counts:
+            keys = sorted(counts)
+            t = pa.table(
+                {
+                    "status": pa.array([k[0] for k in keys], pa.string()),
+                    "route": pa.array([k[1] for k in keys], pa.string()),
+                    "n": pa.array([counts[k] for k in keys], pa.int64()),
+                    "run_id": pa.array([in_fp] * len(keys), pa.string()),
+                    "config_fp": pa.array(
+                        [config.fingerprint()] * len(keys), pa.string()
+                    ),
+                }
+            )
+            mpath = os.path.join(out_dir, "metrics", "run_metrics.parquet")
+            os.makedirs(os.path.dirname(mpath), exist_ok=True)
+            pq.write_table(t, mpath)
     except Exception:  # noqa: BLE001 — metrics are advisory, never fail a run
         pass
     return manifest

@@ -452,11 +452,8 @@ def simhash64(text: str) -> int:
         np.int64
     )
     acc = ((2 * bits - 1) * w[:, None]).sum(axis=0)
-    out = np.uint64(0)
-    for j in range(64):
-        if acc[j] > 0:
-            out |= np.uint64(1) << np.uint64(j)
-    return int(out)
+    # vectorized bit-pack: bit j set iff acc[j] > 0
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
 class SimHash:

@@ -186,6 +186,7 @@ class RunManifest:
         rows: int,
         seconds: float,
         profile: str | None = None,
+        counters: str | None = None,
     ) -> None:
         """Atomically promote tmp_dir → part dir and record the lineage
         row (rows, wall seconds; ``profile`` marks partitions that were
@@ -202,8 +203,25 @@ class RunManifest:
         entry = {"rows": rows, "seconds": round(seconds, 3)}
         if profile:
             entry["profile"] = profile
+        if counters:
+            # per-partition {'status|route': n} JSON computed in-pass by
+            # the partition task (ProcessResult-counter analog) — lets
+            # run metrics aggregate without re-reading the output
+            entry["counters"] = counters
         self.done[part] = entry
         self._save()
+
+    def profile_counts(self) -> dict[tuple[str, str], int]:
+        """Aggregate the per-partition counters into {(status, route): n}."""
+        out: dict[tuple[str, str], int] = {}
+        for v in self.done.values():
+            raw = v.get("counters")
+            if not raw:
+                continue
+            for key, n in json.loads(raw).items():
+                st, _, rt = key.partition("|")
+                out[(st, rt)] = out.get((st, rt), 0) + int(n)
+        return out
 
     def total_rows(self) -> int:
         return sum(v["rows"] for v in self.done.values())

@@ -250,3 +250,26 @@ def test_conversations_not_split_across_partitions(tmp_path):
             continue
         for conv in set(pq.read_table(os.path.join(out, d), columns=["conv_id"])["conv_id"].to_pylist()):
             assert seen.setdefault(conv, d) == d
+
+
+def test_fused_run_equals_unfused(tmp_path):
+    """fuse_extract: one narrow shuffle + fused per-partition
+    sort/extract/write produces byte-identical partition contents to
+    the unfused (extract-stage + wide shuffle) layout."""
+    from intelligent_ocr_ray.pipelines.resumable import (
+        audit_completeness,
+        run_resumable,
+    )
+    from intelligent_ocr_ray.sources.transcripts import write_transcripts
+
+    src = write_transcripts(str(tmp_path / "in"), 30, seed=13)
+    out_a = str(tmp_path / "out_a")
+    out_b = str(tmp_path / "out_b")
+    ma = run_resumable(src, out_a, num_parts=8, concurrency=2)
+    mb = run_resumable(src, out_b, num_parts=8, concurrency=2, fuse_extract=True)
+    assert audit_completeness(src, ma)[0] and audit_completeness(src, mb)[0]
+    for p in range(8):
+        ta = pq.read_table(os.path.join(out_a, f"part={p:04d}"))
+        tb = pq.read_table(os.path.join(out_b, f"part={p:04d}"))
+        assert ta.schema.names == tb.schema.names, p
+        assert ta.equals(tb), p

@@ -164,6 +164,15 @@ def test_watchdog_times_out_hung_attempt(tmp_path):
     # every partition was recovered by a rung, not the hung strict pass
     assert all(v.get("profile") for v in man.done.values())
     assert wall < 90, wall
+    # drain the abandoned strict attempt's sleeping tasks before the
+    # session fixture tears Ray down (a hard shutdown mid-task aborts
+    # the worker pool and with it the pytest process)
+    import ray
+
+    for _ in range(40):
+        if ray.available_resources().get("CPU", 0) >= ray.cluster_resources().get("CPU", 0):
+            break
+        time.sleep(1)
 
 
 def test_progress_callback_reports_eta(tmp_path):
