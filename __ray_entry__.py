@@ -136,9 +136,10 @@ def _q_lang_id_ngram(sf_dir: str):
     from intelligent_ocr_ray.stages.text_stats import NgramLangId
 
     ds = _docs(sf_dir, ["doc_id", "text"])
+    # instance (not class) → stateless tasks with the profiles baked in:
+    # elastic parallelism; the state is a few dozen strings
     return ds.map_batches(
-        NgramLangId, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=2, num_cpus=0.5,
+        NgramLangId(), batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["doc_id", "lang_ngram"])
 
 
@@ -361,7 +362,7 @@ def _q_fingerprint(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        Fingerprint, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        Fingerprint(), batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["doc_id", "fingerprint"])
 
 

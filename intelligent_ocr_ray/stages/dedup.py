@@ -385,6 +385,19 @@ def _pairs_from_band_partition(part: pa.Table, max_bucket: int) -> pa.Table:
     )
 
 
+# per-worker-process MinHashLSH cache for the stateless-task path (the
+# permutation table is cheap to build but free to reuse) — same pattern
+# as stages/extractor._PROCESS_EXTRACTORS
+_MINHASH_CACHE: dict[tuple[int, int], MinHashLSH] = {}
+
+
+def minhash_batch(batch: pa.Table, n: int = NGRAM_N, seed: int = 7) -> pa.Table:
+    mh = _MINHASH_CACHE.get((n, seed))
+    if mh is None:
+        mh = _MINHASH_CACHE[(n, seed)] = MinHashLSH(n, seed)
+    return mh(batch)
+
+
 def minhash_lsh_pairs(
     ds, threshold: float = 0.5, *, concurrency=None, max_bucket: int = 200
 ):
@@ -392,18 +405,28 @@ def minhash_lsh_pairs(
 
     With r=4, b=16 the LSH hit probability is 1-(1-J⁴)¹⁶: ≈0.97 at
     J=0.7, ≈1-1e-10 at J=0.95 — high recall for the near-dup regime;
-    exactness is ngram_jaccard_pairs' job."""
+    exactness is ngram_jaccard_pairs' job.
+
+    The signature stage runs as stateless TASKS with a once-per-worker
+    cached MinHashLSH (elastic parallelism — a fixed 2-actor pool
+    measured as the whole pipeline's bottleneck); pass ``concurrency``
+    to pin an actor pool instead when embedding this in a larger job."""
     import functools
 
     from ray.data.aggregate import Max
 
-    bands = ds.map_batches(
-        MinHashLSH,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency if concurrency is not None else 2,
-        num_cpus=0.5,
-    )
+    if concurrency is None:
+        bands = ds.map_batches(
+            minhash_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        bands = ds.map_batches(
+            MinHashLSH,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+            num_cpus=0.5,
+        )
 
     def add_bpart(t: pa.Table) -> pa.Table:
         mixed = pc.bit_wise_xor(
