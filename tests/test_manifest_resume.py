@@ -273,3 +273,43 @@ def test_fused_run_equals_unfused(tmp_path):
         tb = pq.read_table(os.path.join(out_b, f"part={p:04d}"))
         assert ta.schema.names == tb.schema.names, p
         assert ta.equals(tb), p
+
+
+def test_fused_run_salted_and_resumable(tmp_path):
+    """The fused layout composes with the skew salt and with resume:
+    a partially-complete manifest only reprocesses pending partitions."""
+    import json
+
+    from intelligent_ocr_ray.pipelines.resumable import (
+        audit_completeness,
+        run_resumable,
+    )
+    from intelligent_ocr_ray.sources.transcripts import write_transcripts
+
+    src = write_transcripts(str(tmp_path / "in"), 12, seed=9, mega_every=1, mega_factor=40)
+    out = str(tmp_path / "out")
+    m = run_resumable(src, out, num_parts=8, salt_turns=16, fuse_extract=True)
+    assert audit_completeness(src, m)[0]
+    # each partition file is internally (conv_id, turn_idx)-sorted
+    for p in range(8):
+        t = pq.read_table(os.path.join(out, f"part={p:04d}"))
+        if t.num_rows:
+            keys = list(zip(t.column("conv_id").to_pylist(), t.column("turn_idx").to_pylist()))
+            assert keys == sorted(keys), p
+    # uncommit two partitions; resume must only rewrite those
+    mpath = os.path.join(out, "manifest.json")
+    data = json.load(open(mpath))
+    mtimes = {}
+    for p in (2, 5):
+        data["done"].pop(str(p))
+        import shutil
+
+        shutil.rmtree(os.path.join(out, f"part={p:04d}"))
+    json.dump(data, open(mpath, "w"))
+    for d in os.listdir(out):
+        if d.startswith("part="):
+            mtimes[d] = os.path.getmtime(os.path.join(out, d, "data.parquet"))
+    m2 = run_resumable(src, out, num_parts=8, salt_turns=16, fuse_extract=True)
+    assert m2.is_complete() and audit_completeness(src, m2)[0]
+    for d, old in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, d, "data.parquet")) == old, d
