@@ -147,6 +147,8 @@ def run_bench() -> dict:
         "pricing_summary",
         "exact_dedup",
         "minhash_dups",
+        "ngram_jaccard_dups",
+        "embedding_neardup",
         "ann_topk",
     ):
         if name not in qs or headline_only:
