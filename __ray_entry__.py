@@ -366,6 +366,53 @@ def _q_fingerprint(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction (emails then phone-like runs) with per-kind
+    redaction counts; vectorized RE2 replace, oracle = the same two
+    regexp_replace passes."""
+    from intelligent_ocr_ray.stages.corpus import scrub_pii_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(scrub_pii_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_quality_filter(sf_dir: str):
+    """Pretraining quality gate: min tokens, punctuation ratio cap,
+    stopword-ratio floor — same double-division op order as
+    quality_stats so the SQL twin filters identically."""
+    from intelligent_ocr_ray.stages.corpus import quality_filter_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        quality_filter_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "n_tokens"])
+
+
+def _q_vocab_topk(sf_dir: str):
+    """Global top-100 token frequencies: per-batch partial counts →
+    coarse token-space partitions → per-partition sum + local top-k →
+    tiny merge. Deterministic tie-break (n desc, token asc)."""
+    from intelligent_ocr_ray.stages.corpus import vocab_topk
+
+    return vocab_topk(_docs(sf_dir, ["text"]), k=100)
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Token-window chunking (32-token windows, single-space re-join) —
+    the pretraining example splitter; fully vectorized ListArray
+    re-slice + binary_join."""
+    import functools
+
+    from intelligent_ocr_ray.stages.corpus import chunk_tokens_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        functools.partial(chunk_tokens_batch, chunk_size=32),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_transcripts": _q_extract_transcripts,
@@ -398,6 +445,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "multimodal_decode": _q_multimodal_decode,
+        "pii_scrub": _q_pii_scrub,
+        "quality_filter": _q_quality_filter,
+        "vocab_topk": _q_vocab_topk,
+        "doc_chunks": _q_doc_chunks,
         "conv_stats": _q_conv_stats,
         "status_profile": _q_status_profile,
         "conv_passthrough": _q_conv_passthrough,
@@ -443,6 +494,10 @@ WHERE is_blank OR (NOT is_pdfish AND NOT is_html AND length(s) > 50)
 """
 
 _TOKEN_RE_SQL = r"'[^ \t\r\n]+'"
+
+# identical strings to stages/corpus.py (RE2 on both engines)
+_EMAIL_RE = r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+"
+_PHONE_RE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
 
 
 def _ngram_lang_sql() -> str:
@@ -646,6 +701,49 @@ def oracle_sql() -> dict[str, str]:
         "docs_with_labels": """
             SELECT doc_id, lang, n_chars, label
             FROM documents JOIN embeddings ON doc_id = vec_id
+        """,
+        "pii_scrub": f"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_PHONE_RE}', '<PHONE>', 'g') AS text_scrubbed,
+                   len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+                   len(regexp_extract_all(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                          '{_PHONE_RE}')) AS n_phone
+            FROM documents
+        """,
+        "quality_filter": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS n_tokens,
+                     len(regexp_extract_all(text, '[.,;:!?]'))
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0) AS pr,
+                     len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|a|for|on|with)\\b'))
+                       / greatest(CAST(len(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS DOUBLE), 1.0) AS sr
+              FROM documents
+            )
+            SELECT doc_id, n_tokens FROM q
+            WHERE n_tokens >= 5 AND pr <= 0.1 AND sr >= 0.01
+        """,
+        "vocab_topk": f"""
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        "doc_chunks": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, {_TOKEN_RE_SQL}) AS w
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(0, CAST((len(w) - 1) // 32 AS BIGINT))) AS chunk_idx
+              FROM toks WHERE len(w) > 0
+            )
+            SELECT doc_id, chunk_idx,
+                   least((chunk_idx + 1) * 32, len(w)) - chunk_idx * 32 AS n_chunk_tokens,
+                   array_to_string(w[chunk_idx * 32 + 1 : least((chunk_idx + 1) * 32, len(w))], ' ') AS chunk_text
+            FROM c
         """,
         "conv_stats": f"""
             WITH t AS ({SQL_DERIVATION})

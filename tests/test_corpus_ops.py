@@ -1,0 +1,104 @@
+"""Corpus-preparation operators (stages/corpus.py) vs DuckDB twins on
+edge inputs the driver's documents tables never exercise: real PII
+hits, zero-token docs, exact-multiple chunk boundaries, tie-broken
+vocabulary."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from intelligent_ocr_ray.stages.corpus import (
+    EMAIL_PATTERN,
+    PHONE_PATTERN,
+    chunk_tokens_batch,
+    quality_filter_batch,
+    scrub_pii_batch,
+    vocab_topk,
+)
+
+PII_TEXTS = [
+    "reach me at alice.smith+test@example-site.co.uk thanks",
+    "call +1 (555) 123-4567 or 555 867 5309 now",
+    "both bob@x.io and +44 20 7946 0958 appear here",
+    "no pii at all",
+    "",
+    None,
+]
+
+
+def _tbl(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_scrub_pii_matches_duckdb_on_real_pii():
+    got = scrub_pii_batch(_tbl(PII_TEXTS)).to_pylist()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT regexp_replace(regexp_replace(t, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                              '{PHONE_PATTERN}', '<PHONE>', 'g') AS s,
+               len(regexp_extract_all(t, '{EMAIL_PATTERN}')) AS ne,
+               len(regexp_extract_all(regexp_replace(t, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                                      '{PHONE_PATTERN}')) AS np
+        FROM (SELECT unnest(?) AS t)
+        """,
+        [[t for t in PII_TEXTS if t is not None]],
+    ).fetchall()
+    non_null = [g for g in got if g["text_scrubbed"] is not None]
+    for g, (s, ne, npn) in zip(non_null, want):
+        assert g["text_scrubbed"] == s
+        assert g["n_email"] == ne and g["n_phone"] == npn
+    # the interesting branches really fired
+    assert non_null[0]["n_email"] == 1 and "<EMAIL>" in non_null[0]["text_scrubbed"]
+    assert non_null[1]["n_phone"] == 2
+    assert non_null[2]["n_email"] == 1 and non_null[2]["n_phone"] == 1
+    # null text propagates as null, zero counts... (arrow kernels emit null)
+    assert got[5]["text_scrubbed"] is None
+
+
+def test_quality_filter_gates():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",  # passes
+        "a b",                                          # too few tokens
+        "!!! ??? ;;; ... ,,, the and of to in is",      # punct soup
+        "zzz qqq xxx yyy www vvv",                      # no stopwords
+    ]
+    out = quality_filter_batch(_tbl(texts)).to_pylist()
+    assert [r["doc_id"] for r in out] == [0]
+
+
+def test_chunk_tokens_boundaries():
+    texts = [
+        " ".join(f"t{i}" for i in range(7)),   # 7 tokens → 3+3+1 at size 3
+        " ".join(f"u{i}" for i in range(6)),   # exact multiple → 2 chunks
+        "solo",                                 # 1 token → 1 chunk
+        "",                                     # no chunks
+        "   \t ",                               # whitespace only → no chunks
+    ]
+    out = chunk_tokens_batch(_tbl(texts), chunk_size=3).to_pylist()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["n_chunk_tokens"] for r in by_doc[0]] == [3, 3, 1]
+    assert by_doc[0][0]["chunk_text"] == "t0 t1 t2"
+    assert by_doc[0][2]["chunk_text"] == "t6"
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [3, 3]
+    assert by_doc[2][0]["chunk_text"] == "solo"
+    assert 3 not in by_doc and 4 not in by_doc
+    assert all(
+        r["chunk_idx"] == i for rs in by_doc.values() for i, r in enumerate(rs)
+    )
+
+
+def test_vocab_topk_counts_and_tiebreak():
+    texts = ["b a a", "b c", "a b"]
+    ds = rd.from_arrow(_tbl(texts))
+    rows = vocab_topk(ds, k=2).take_all()
+    # a:3 b:3 c:1 → top-2 tie between a and b broken by token asc
+    assert [(r["token"], r["n"]) for r in rows] == [("a", 3), ("b", 3)]
