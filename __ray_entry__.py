@@ -205,6 +205,22 @@ def _q_events_props(sf_dir: str):
     return props_rollup(sf_dir)
 
 
+def _q_events_asof(sf_dir: str):
+    """As-of join: latest prior 'view' per 'click' per user (vectorized
+    merged searchsorted inside coarse user partitions)."""
+    from intelligent_ocr_ray.pipelines.events import asof_view_before_click
+
+    return asof_view_before_click(sf_dir)
+
+
+def _q_events_rolling(sf_dir: str):
+    """Sliding-window aggregate: per-(user, day) cents + rolling sum
+    over the last 3 observed days (integer-cent math on both engines)."""
+    from intelligent_ocr_ray.pipelines.events import rolling_user_daily
+
+    return rolling_user_daily(sf_dir)
+
+
 def _q_pricing_summary(sf_dir: str):
     from intelligent_ocr_ray.pipelines.relational import pricing_summary
 
@@ -430,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "events_props": _q_events_props,
+        "events_asof": _q_events_asof,
+        "events_rolling": _q_events_rolling,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "supplier_balance_by_region": _q_supplier_balance_by_region,
@@ -652,6 +670,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "events_asof": """
+            WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+            c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+            SELECT c.event_id AS click_id, c.user_id AS user_id,
+                   vv.event_id AS view_id,
+                   CAST(date_diff('microsecond', vv.ts, c.ts) AS BIGINT) AS gap_us
+            FROM c LEFT JOIN LATERAL (
+              SELECT event_id, ts FROM v
+              WHERE v.user_id = c.user_id AND v.ts <= c.ts
+              ORDER BY ts DESC, event_id DESC LIMIT 1
+            ) vv ON true
+        """,
+        "events_rolling": """
+            WITH d AS (
+              SELECT user_id, date_trunc('day', ts) AS day,
+                     CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
+              FROM events GROUP BY user_id, date_trunc('day', ts)
+            )
+            SELECT user_id, day, day_cents,
+                   CAST(sum(day_cents) OVER (
+                     PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling3_cents
+            FROM d
         """,
         "events_sessions": """
             WITH d AS (

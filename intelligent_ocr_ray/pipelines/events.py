@@ -78,6 +78,132 @@ def props_rollup(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _add_user_part(t: pa.Table, num_parts: int) -> pa.Table:
+    part = pc.cast(
+        pc.bit_wise_and(t.column("user_id"), np.int64(num_parts - 1)), pa.int32()
+    )
+    return t.append_column("upart", part)
+
+
+def asof_view_before_click(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
+    """AS-OF JOIN (the custom operator Ray Data lacks): for every
+    'click' event, the latest 'view' event of the same user with
+    view.ts <= click.ts (ties: larger event_id wins), plus the gap in
+    microseconds — the classic event-attribution as-of join.
+
+    Shape: both sides hash-partitioned COARSELY by user (one shuffle);
+    inside each partition the match is ONE vectorized merged
+    searchsorted — both sides sorted by (user, ts, event_id), the view
+    side reduced to a composite int64 key (user ≪ 45 | ts_rel), so no
+    per-user Python dispatch. Partitioning assumption (custom-operator
+    rule): all events of one user share a partition — the same
+    documented contract as sessionize(), salted escape hatch included."""
+    ds = read_events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+
+    def keep_sides(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("event_type"), value_set=pa.array(["view", "click"]))
+        return _add_user_part(t.filter(mask), num_parts)
+
+    def asof_partition(g: pa.Table) -> pa.Table:
+        ts = np.asarray(g.column("ts").cast(pa.int64()))  # µs since epoch
+        user = np.asarray(g.column("user_id"), dtype=np.int64)
+        eid = np.asarray(g.column("event_id"), dtype=np.int64)
+        is_view = np.asarray(pc.equal(g.column("event_type"), "view"))
+        ts_rel = ts - ts.min() if len(ts) else ts
+        assert ts_rel.max(initial=0) < (1 << 45), "widen the composite key"
+
+        def ordered(mask):
+            order = np.lexsort((eid[mask], ts_rel[mask], user[mask]))
+            return user[mask][order], ts_rel[mask][order], eid[mask][order]
+
+        vu, vt, ve = ordered(is_view)
+        cu, ct, ce = ordered(~is_view)
+        vkey = (vu << 45) | vt
+        ckey = (cu << 45) | ct
+        # views with key <= click key; equal ts sorts event_id ascending,
+        # so pos-1 is the max-event_id tie winner
+        pos = np.searchsorted(vkey, ckey, side="right")
+        valid = (pos > 0) & (vu[np.maximum(pos - 1, 0)] == cu)
+        vi = np.maximum(pos - 1, 0)
+        view_id = np.where(valid, ve[vi], -1)
+        gap = np.where(valid, ct - vt[vi], -1)
+        return pa.table(
+            {
+                "click_id": pa.array(ce, pa.int64()),
+                "user_id": pa.array(cu, pa.int64()),
+                "view_id": pa.array(view_id, pa.int64()).cast(pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        ).set_column(
+            2, "view_id",
+            pc.if_else(pa.array(valid), pa.array(view_id, pa.int64()), pa.nulls(len(valid), pa.int64())),
+        ).set_column(
+            3, "gap_us",
+            pc.if_else(pa.array(valid), pa.array(gap, pa.int64()), pa.nulls(len(valid), pa.int64())),
+        )
+
+    parted = ds.map_batches(keep_sides, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby("upart").map_groups(asof_partition, batch_format="pyarrow")
+
+
+ROLLING_WINDOW_DAYS = 3
+
+
+def rolling_user_daily(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
+    """WINDOWED AGGREGATE (sliding window): per (user, day) spend plus
+    the rolling sum over the user's last ROLLING_WINDOW_DAYS observed
+    days (ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW semantics).
+
+    Money is converted to integer cents (half-even) BEFORE summation so
+    both engines add exact integers — a rolling double sum computed via
+    cumsum differences would drift in the last bits vs the oracle's
+    direct window sum. Shape: per-batch partial (user, day) cent sums →
+    coarse user partitions → vectorized cumsum with per-user rebasing."""
+    ds = read_events(sf_dir, columns=["ts", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("value"), 100.0), ndigits=0), pa.int64()
+        )
+        g = pa.table(
+            {"user_id": t.column("user_id"), "day": day, "cents": cents}
+        )
+        out = pa.TableGroupBy(g, ["user_id", "day"]).aggregate([("cents", "sum")])
+        return _add_user_part(out.rename_columns(["user_id", "day", "day_cents"]), num_parts)
+
+    def rolling_partition(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["upart"])
+        # complete the (user, day) aggregation within the partition
+        t = (
+            pa.TableGroupBy(t, ["user_id", "day"])
+            .aggregate([("day_cents", "sum")])
+            .rename_columns(["user_id", "day", "day_cents"])
+        )
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        day = np.asarray(t.column("day").cast(pa.int64()))
+        cents = np.asarray(t.column("day_cents"), dtype=np.int64)
+        order = np.lexsort((day, user))
+        user, day, cents = user[order], day[order], cents[order]
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        idx = np.arange(len(user))
+        user_start = idx[np.concatenate([[True], user[1:] != user[:-1]])]
+        start_of_row = user_start[np.cumsum(np.concatenate([[True], user[1:] != user[:-1]])) - 1]
+        lo = np.maximum(idx - (ROLLING_WINDOW_DAYS - 1), start_of_row)
+        rolling = cs[idx + 1] - cs[lo]
+        return pa.table(
+            {
+                "user_id": pa.array(user, pa.int64()),
+                "day": pa.array(day).cast(pa.timestamp("us")),
+                "day_cents": pa.array(cents, pa.int64()),
+                "rolling3_cents": pa.array(rolling, pa.int64()),
+            }
+        )
+
+    parted = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby("upart").map_groups(rolling_partition, batch_format="pyarrow")
+
+
 SESSION_GAP_MINUTES = 30
 
 

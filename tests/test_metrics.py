@@ -136,3 +136,77 @@ def test_status_profile_oracle_covers_parse_routes(tmp_path):
     routes = set(got["route"])
     assert {"pdfish", "html", "blank", "error", "plain"} <= routes
     assert "fallback" in set(got["status"])
+
+
+def test_events_asof_and_rolling_semantics(tmp_path):
+    """As-of join tie-break (equal ts → max event_id) + no-prior-view
+    null, and the 3-row sliding window resetting per user — vs DuckDB
+    on a handcrafted log."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    us = 1_000_000
+    rows = [
+        # user 1: two views at the SAME ts before the click (tie), one after
+        (0, 10 * us, 1, "view", 1.0),
+        (1, 10 * us, 1, "view", 1.0),
+        (2, 20 * us, 1, "click", 1.0),
+        (3, 30 * us, 1, "view", 1.0),
+        # user 2: click with NO prior view
+        (4, 5 * us, 2, "click", 1.0),
+        (5, 50 * us, 2, "view", 1.0),
+        # click exactly AT a view's ts (<= is inclusive)
+        (6, 50 * us, 2, "click", 1.0),
+        # user 3: four days of purchases for the rolling window
+        (7, 0 * us, 3, "purchase", 1.00),
+        (8, 86400 * us, 3, "purchase", 2.00),
+        (9, 2 * 86400 * us, 3, "purchase", 4.00),
+        (10, 3 * 86400 * us, 3, "purchase", 8.00),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+
+    asof = {
+        r["click_id"]: (r["view_id"], r["gap_us"])
+        for r in entrymod.queries()["events_asof"](str(tmp_path)).take_all()
+    }
+    assert asof[2] == (1, 10 * us)  # tie at ts=10 → event_id 1 wins
+    assert asof[4] == (None, None)  # no prior view
+    assert asof[6] == (5, 0)        # ts equality is inclusive
+
+    roll = {
+        (r["user_id"], r["day_cents"]): r["rolling3_cents"]
+        for r in entrymod.queries()["events_rolling"](str(tmp_path)).take_all()
+        if r["user_id"] == 3
+    }
+    assert roll[(3, 100)] == 100
+    assert roll[(3, 200)] == 300
+    assert roll[(3, 400)] == 700
+    assert roll[(3, 800)] == 1400  # window slid: 2+4+8
+
+    # and the full outputs match the oracle SQL on this table
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    for name in ("events_asof", "events_rolling"):
+        got = entrymod.queries()[name](str(tmp_path)).to_pandas()
+        want = con.sql(entrymod.oracle_sql()[name]).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert g.astype(str).equals(w.astype(str)), name
