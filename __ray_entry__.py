@@ -213,6 +213,17 @@ def _q_events_asof(sf_dir: str):
     return asof_view_before_click(sf_dir)
 
 
+def _q_distinct_users_kmv(sf_dir: str):
+    """KMV bottom-64 sketch: approximate distinct users per event_type
+    (exact below 64). Deterministic md5 hashing → the oracle reproduces
+    the estimator bit-for-bit."""
+    from intelligent_ocr_ray.pipelines.events import read_events
+    from intelligent_ocr_ray.stages.sketches import kmv_distinct
+
+    ds = read_events(sf_dir, columns=["event_type", "user_id"])
+    return kmv_distinct(ds, "event_type", "user_id", k=64)
+
+
 def _q_events_rolling(sf_dir: str):
     """Sliding-window aggregate: per-(user, day) cents + rolling sum
     over the last 3 observed days (integer-cent math on both engines)."""
@@ -448,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props": _q_events_props,
         "events_asof": _q_events_asof,
         "events_rolling": _q_events_rolling,
+        "distinct_users_kmv": _q_distinct_users_kmv,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "supplier_balance_by_region": _q_supplier_balance_by_region,
@@ -670,6 +682,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "distinct_users_kmv": """
+            WITH h AS (SELECT DISTINCT event_type,
+                              md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+            r AS (SELECT event_type, hx,
+                         row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS nd
+                  FROM h)
+            SELECT event_type,
+                   CAST(CASE WHEN nd < 64 THEN nd
+                             ELSE 63 * 18446744073709551616
+                                  // greatest(CAST(concat('0x', substring(hx, 1, 16)) AS UBIGINT), 1)
+                        END AS BIGINT) AS n_distinct_est
+            FROM r WHERE rn = least(nd, 64)
         """,
         "events_asof": """
             WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),

@@ -1,0 +1,91 @@
+"""Mergeable cardinality sketch: KMV (k-minimum-values) distinct
+counting per group — the sketch family a 100 TB pipeline uses where
+exact COUNT(DISTINCT) would shuffle every value.
+
+KMV (Bar-Yossef et al., the classic bottom-k estimator): hash every
+value uniformly, keep the k smallest hashes per group; with the k-th
+smallest hash interpreted as a fraction v/2⁶⁴ of the unit interval, the
+estimate is (k-1)·2⁶⁴/v. Union-mergeable: the k smallest of a union are
+the k smallest of the per-partial k-smallest sets — so per-batch
+partials shrink the shuffle to ≤ k rows per (batch, group) and the
+reduce is a tiny merge. If the merged set holds fewer than k values, no
+partial ever truncated, so the count is EXACT (and emitted as such).
+
+Unlike HLL, KMV with a fixed hash is fully deterministic — md5 here, so
+the DuckDB oracle reproduces the estimator bit-for-bit (same hashes,
+same k-th pick, same 128-bit integer division).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_K = 64
+_SCALE = 1 << 64
+
+
+def _md5_hex(vals: list) -> list[str]:
+    # md5(CAST(v AS VARCHAR)) — identical string form on the SQL side
+    return [hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in vals]
+
+
+def _kmv_partial(batch: pa.Table, group_col: str, value_col: str, k: int) -> pa.Table:
+    """Per-batch combiner: distinct (group, value) → md5 hex → k
+    smallest per group. Output ≤ k rows per group per batch."""
+    pairs = (
+        batch.select([group_col, value_col])
+        .group_by([group_col, value_col])
+        .aggregate([])
+    )
+    groups = pairs.column(group_col).to_pylist()
+    hx = np.array(_md5_hex(pairs.column(value_col).to_pylist()), dtype=object)
+    garr = np.array(groups, dtype=object)
+    order = np.lexsort((hx, garr))
+    garr, hx = garr[order], hx[order]
+    starts = np.concatenate(
+        [[0], np.flatnonzero(garr[1:] != garr[:-1]) + 1, [len(garr)]]
+    )
+    keep = np.concatenate(
+        [np.arange(starts[i], min(starts[i] + k, starts[i + 1]))
+         for i in range(len(starts) - 1)]
+    ) if len(garr) else np.array([], dtype=np.int64)
+    return pa.table(
+        {
+            group_col: pa.array(list(garr[keep]), pairs.column(group_col).type),
+            "hx": pa.array(list(hx[keep]), pa.string()),
+        }
+    )
+
+
+def kmv_distinct(ds, group_col: str, value_col: str, k: int = DEFAULT_K):
+    """Approximate COUNT(DISTINCT value) per group via a KMV sketch.
+    Returns (group, n_distinct_est): exact when the group has fewer than
+    k distinct values, else the bottom-k estimate (relative std error
+    ≈ 1/√(k−2) ≈ 13% at k=64). Deterministic → DuckDB-oracled."""
+    import functools
+
+    partials = ds.map_batches(
+        functools.partial(_kmv_partial, group_col=group_col, value_col=value_col, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.column(group_col)[0]
+        hx = sorted(set(group.column("hx").to_pylist()))
+        if len(hx) < k:
+            est = len(hx)  # no partial truncated → exact
+        else:
+            v = int(hx[k - 1][:16], 16)
+            est = (k - 1) * _SCALE // max(v, 1)
+        return pa.table(
+            {
+                group_col: pa.array([g.as_py()], group.column(group_col).type),
+                "n_distinct_est": pa.array([est], pa.int64()),
+            }
+        )
+
+    return partials.groupby(group_col).map_groups(merge, batch_format="pyarrow")

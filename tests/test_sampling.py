@@ -35,3 +35,31 @@ def test_dataset_split_e2e():
     df = dataset_split("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 500
     assert set(df.split) <= {"train", "valid", "test"}
+
+
+def test_kmv_distinct_accuracy_and_exact_branch():
+    """KMV estimate within the theoretical error envelope vs exact
+    distinct counts; groups under k are reported exactly."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intelligent_ocr_ray.stages.sketches import kmv_distinct
+
+    # 3 groups: tiny (exact branch), mid, large
+    rows_g, rows_v = [], []
+    for g, n in (("tiny", 10), ("mid", 500), ("big", 5000)):
+        for v in range(n):
+            rows_g.append(g)
+            rows_v.append(f"{g}-{v}")
+            if v % 3 == 0:  # duplicates must not inflate the count
+                rows_g.append(g)
+                rows_v.append(f"{g}-{v}")
+    ds = rd.from_arrow(
+        pa.table({"grp": pa.array(rows_g), "val": pa.array(rows_v)})
+    )
+    got = {r["grp"]: r["n_distinct_est"] for r in kmv_distinct(ds, "grp", "val", k=64).take_all()}
+    assert got["tiny"] == 10  # exact branch
+    for g, n in (("mid", 500), ("big", 5000)):
+        rel = abs(got[g] - n) / n
+        assert rel < 0.4, (g, got[g], rel)  # ~3σ at k=64 (σ ≈ 12.7%)
