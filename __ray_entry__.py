@@ -258,6 +258,14 @@ def _q_docs_with_labels(sf_dir: str):
     return docs_with_labels(sf_dir)
 
 
+def _q_parts_in_bands(sf_dir: str):
+    """Interval (range) join: parts matched to OVERLAPPING price bands
+    — broadcast ranges, vectorized masks, no shuffle."""
+    from intelligent_ocr_ray.pipelines.relational import parts_in_price_bands
+
+    return parts_in_price_bands(sf_dir)
+
+
 def _q_top_parts(sf_dir: str):
     from intelligent_ocr_ray.pipelines.relational import top_parts_by_size
 
@@ -465,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_region": _q_supplier_balance_by_region,
         "docs_with_labels": _q_docs_with_labels,
         "top_parts": _q_top_parts,
+        "parts_in_bands": _q_parts_in_bands,
         "fingerprint": _q_fingerprint,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_dups": _q_minhash_dups,
@@ -751,6 +760,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "parts_in_bands": """
+            WITH bands AS (
+              SELECT i AS band_id, i * 250.0 AS lo, i * 250.0 + 500.0 AS hi
+              FROM range(10) t(i)
+            )
+            SELECT p_partkey, band_id,
+                   CAST(round_even(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+            FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         """,
         "top_parts": """
             SELECT p_partkey, p_size, p_retailprice FROM part

@@ -160,6 +160,67 @@ def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
     )
 
 
+def broadcast_range_join(
+    ds: rd.Dataset,
+    ranges: list[tuple[int, float, float]],
+    value_col: str,
+    keep_cols: list[str],
+) -> rd.Dataset:
+    """RANGE (interval) JOIN — a custom operator Ray Data lacks: match
+    each row's ``value_col`` to every range ``[lo, hi)`` in a SMALL
+    ranges side (one-to-many; ranges may overlap). The ranges ride in
+    the task closure (broadcast side, a handful of floats); the match is
+    one vectorized mask per range per batch — no shuffle at all. For a
+    LARGE ranges side the scale path is an interval partition of the
+    value axis + a hash join per partition, the same coarse-partition
+    discipline as the dedup pipelines."""
+    import numpy as np
+
+    def match(t: pa.Table) -> pa.Table:
+        vals = np.asarray(t.column(value_col), dtype=np.float64)
+        idx_parts: list[np.ndarray] = []
+        band_parts: list[np.ndarray] = []
+        for band_id, lo, hi in ranges:
+            hit = np.flatnonzero((vals >= lo) & (vals < hi))
+            idx_parts.append(hit)
+            band_parts.append(np.full(len(hit), band_id, dtype=np.int64))
+        idx = np.concatenate(idx_parts) if idx_parts else np.array([], dtype=np.int64)
+        take = pa.array(idx)
+        out = {c: t.column(c).take(take) for c in keep_cols}
+        out["band_id"] = pa.array(
+            np.concatenate(band_parts) if band_parts else np.array([], dtype=np.int64),
+            pa.int64(),
+        )
+        return pa.table(out)
+
+    return ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def parts_in_price_bands(sf_dir: str) -> rd.Dataset:
+    """Overlapping price-band interval join over `part` (bands of width
+    500 stepping by 250 — each price hits one or two bands)."""
+    bands = [(i, i * 250.0, i * 250.0 + 500.0) for i in range(10)]
+    parts = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    joined = broadcast_range_join(
+        parts, bands, "p_retailprice", ["p_partkey", "p_retailprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t.column("p_retailprice"), 100.0), ndigits=0),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "band_id": t.column("band_id"),
+                "price_cents": c,
+            }
+        )
+
+    return joined.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def docs_with_labels(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
     """documents ⋈ embeddings on doc_id=vec_id via the engine-native
     HASH JOIN (Dataset.join) — the shuffle-join form for when neither
