@@ -105,41 +105,38 @@ def asof_view_before_click(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
         return _add_user_part(t.filter(mask), num_parts)
 
     def asof_partition(g: pa.Table) -> pa.Table:
+        # merge-scan: one sort of both sides by (user, ts, views-first,
+        # event_id) then a forward-fill of the latest view index — at
+        # equal ts views sort before clicks (<= is inclusive) and equal-
+        # ts views sort event_id ascending, so the fill carries the
+        # max-event_id tie winner. No composite-key bit packing → no
+        # time-span/user-range limits.
         ts = np.asarray(g.column("ts").cast(pa.int64()))  # µs since epoch
         user = np.asarray(g.column("user_id"), dtype=np.int64)
         eid = np.asarray(g.column("event_id"), dtype=np.int64)
-        is_view = np.asarray(pc.equal(g.column("event_type"), "view"))
-        ts_rel = ts - ts.min() if len(ts) else ts
-        assert ts_rel.max(initial=0) < (1 << 45), "widen the composite key"
-
-        def ordered(mask):
-            order = np.lexsort((eid[mask], ts_rel[mask], user[mask]))
-            return user[mask][order], ts_rel[mask][order], eid[mask][order]
-
-        vu, vt, ve = ordered(is_view)
-        cu, ct, ce = ordered(~is_view)
-        vkey = (vu << 45) | vt
-        ckey = (cu << 45) | ct
-        # views with key <= click key; equal ts sorts event_id ascending,
-        # so pos-1 is the max-event_id tie winner
-        pos = np.searchsorted(vkey, ckey, side="right")
-        valid = (pos > 0) & (vu[np.maximum(pos - 1, 0)] == cu)
-        vi = np.maximum(pos - 1, 0)
-        view_id = np.where(valid, ve[vi], -1)
-        gap = np.where(valid, ct - vt[vi], -1)
+        is_click = np.asarray(pc.equal(g.column("event_type"), "click")).astype(np.int8)
+        order = np.lexsort((eid, is_click, ts, user))
+        user, ts, eid, is_click = user[order], ts[order], eid[order], is_click[order]
+        idx = np.arange(len(user))
+        view_ptr = np.where(is_click == 0, idx, -1)
+        filled = np.maximum.accumulate(view_ptr)
+        clicks = np.flatnonzero(is_click == 1)
+        vp = filled[clicks]
+        # a fill carried over from the PREVIOUS user is invalid (view
+        # indices only grow, so a cross-user carry shows a user mismatch)
+        valid = (vp >= 0) & (user[np.maximum(vp, 0)] == user[clicks])
+        vi = np.maximum(vp, 0)
+        view_id = pa.array(np.where(valid, eid[vi], 0), pa.int64())
+        gap = pa.array(np.where(valid, ts[clicks] - ts[vi], 0), pa.int64())
+        vmask = pa.array(valid)
+        nulls = pa.nulls(len(clicks), pa.int64())
         return pa.table(
             {
-                "click_id": pa.array(ce, pa.int64()),
-                "user_id": pa.array(cu, pa.int64()),
-                "view_id": pa.array(view_id, pa.int64()).cast(pa.int64()),
-                "gap_us": pa.array(gap, pa.int64()),
+                "click_id": pa.array(eid[clicks], pa.int64()),
+                "user_id": pa.array(user[clicks], pa.int64()),
+                "view_id": pc.if_else(vmask, view_id, nulls),
+                "gap_us": pc.if_else(vmask, gap, nulls),
             }
-        ).set_column(
-            2, "view_id",
-            pc.if_else(pa.array(valid), pa.array(view_id, pa.int64()), pa.nulls(len(valid), pa.int64())),
-        ).set_column(
-            3, "gap_us",
-            pc.if_else(pa.array(valid), pa.array(gap, pa.int64()), pa.nulls(len(valid), pa.int64())),
         )
 
     parted = ds.map_batches(keep_sides, batch_format="pyarrow", zero_copy_batch=True)
