@@ -177,24 +177,24 @@ def chunk_tokens_batch(
     n_tok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
     n_chunks = (n_tok + chunk_size - 1) // chunk_size
     # chunk offsets tile each doc's token range exactly (no overlap), so
-    # the flattened token values can be re-sliced with new offsets only
+    # the flattened token values can be re-sliced with new offsets only.
+    # Fully vectorized: chunk j of doc i ends at
+    # min(doc_start_i + (j+1)·size, doc_end_i).
     doc_starts = np.concatenate([[0], np.cumsum(n_tok)])
-    offsets: list[np.ndarray] = [np.array([0], dtype=np.int64)]
-    for i in range(len(n_tok)):
-        if n_chunks[i]:
-            ends = np.minimum(
-                doc_starts[i] + (np.arange(1, n_chunks[i] + 1) * chunk_size),
-                doc_starts[i + 1],
-            )
-            offsets.append(ends)
+    total = int(n_chunks.sum())
+    doc_of_chunk = np.repeat(np.arange(len(n_tok)), n_chunks)
+    chunk_idx = (
+        np.arange(total) - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    ).astype(np.int64)
+    ends = np.minimum(
+        doc_starts[doc_of_chunk] + (chunk_idx + 1) * chunk_size,
+        doc_starts[doc_of_chunk + 1],
+    )
     chunk_list = pa.ListArray.from_arrays(
-        pa.array(np.concatenate(offsets), pa.int32()), flat
+        pa.array(np.concatenate([[0], ends]), pa.int32()), flat
     )
     chunk_text = pc.binary_join(chunk_list, " ")
     out_ids = np.asarray(keep_ids).repeat(n_chunks)
-    chunk_idx = np.concatenate(
-        [np.arange(c, dtype=np.int64) for c in n_chunks if c]
-    ) if len(n_chunks) and n_chunks.sum() else np.array([], dtype=np.int64)
     return pa.table(
         {
             id_col: pa.array(out_ids, ids.type),
