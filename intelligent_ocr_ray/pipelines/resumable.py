@@ -251,17 +251,20 @@ def _attempt(
             done_n = len(manifest.done)
             elapsed = time.perf_counter() - run_t0
             rate = done_n / elapsed if elapsed > 0 else 0.0
-            progress_callback(
-                {
-                    "partition": part,
-                    "done": done_n,
-                    "total": total_parts,
-                    "rows": manifest.total_rows(),
-                    "elapsed_s": round(elapsed, 3),
-                    "eta_s": round((total_parts - done_n) / rate, 3) if rate else None,
-                    "profile": profile,
-                }
-            )
+            try:
+                progress_callback(
+                    {
+                        "partition": part,
+                        "done": done_n,
+                        "total": total_parts,
+                        "rows": manifest.total_rows(),
+                        "elapsed_s": round(elapsed, 3),
+                        "eta_s": round((total_parts - done_n) / rate, 3) if rate else None,
+                        "profile": profile,
+                    }
+                )
+            except Exception:  # noqa: BLE001 — progress is advisory; never fail the run
+                pass
     # partitions with no rows at all still count as done (empty)
     for part in sorted(pending - seen):
         tmp = os.path.join(out_dir, f"_tmp-part={part:04d}")
