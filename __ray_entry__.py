@@ -694,7 +694,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_users_kmv": """
             WITH h AS (SELECT DISTINCT event_type,
-                              md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+                              md5(CAST(user_id AS VARCHAR)) AS hx
+                       FROM events WHERE user_id IS NOT NULL),
             r AS (SELECT event_type, hx,
                          row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn,
                          count(*) OVER (PARTITION BY event_type) AS nd
@@ -722,7 +723,8 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
               SELECT user_id, date_trunc('day', ts) AS day,
                      CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
-              FROM events GROUP BY user_id, date_trunc('day', ts)
+              FROM events WHERE value IS NOT NULL
+              GROUP BY user_id, date_trunc('day', ts)
             )
             SELECT user_id, day, day_cents,
                    CAST(sum(day_cents) OVER (

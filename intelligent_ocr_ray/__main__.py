@@ -135,7 +135,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--num-parts", type=int, default=32)
     r.add_argument("--progress", action="store_true", help="print per-partition progress/ETA lines")
     r.add_argument("--partition-timeout", type=float, default=None,
-                   help="inactivity watchdog: seconds without a partition commit before the attempt is abandoned")
+                   help="inactivity watchdog: seconds without a partition commit before the "
+                        "attempt is abandoned. The FIRST commit only lands after the whole "
+                        "read/shuffle phase clears, so budget for that full phase (the "
+                        "reference uses 1800 s)")
     r.add_argument("--degraded-rerun", action="store_true",
                    help="rerun failed/hung partitions under the degraded profile ladder")
     r.set_defaults(fn=cmd_run)

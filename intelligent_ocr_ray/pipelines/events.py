@@ -92,9 +92,8 @@ def asof_view_before_click(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
     microseconds — the classic event-attribution as-of join.
 
     Shape: both sides hash-partitioned COARSELY by user (one shuffle);
-    inside each partition the match is ONE vectorized merged
-    searchsorted — both sides sorted by (user, ts, event_id), the view
-    side reduced to a composite int64 key (user ≪ 45 | ts_rel), so no
+    inside each partition the match is ONE vectorized merge-scan (sort
+    both sides together, forward-fill the latest view index) — no
     per-user Python dispatch. Partitioning assumption (custom-operator
     rule): all events of one user share a partition — the same
     documented contract as sessionize(), salted escape hatch included."""
@@ -159,6 +158,11 @@ def rolling_user_daily(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
     ds = read_events(sf_dir, columns=["ts", "user_id", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # events with a null value are excluded on BOTH sides (the SQL
+        # twin filters them too): an all-null (user, day) group would
+        # otherwise sum to NULL here and wrap to INT64_MIN through the
+        # numpy cast, silently poisoning the rolling window
+        t = t.filter(pc.is_valid(t.column("value")))
         day = pc.floor_temporal(t.column("ts"), unit="day")
         cents = pc.cast(
             pc.round(pc.multiply(t.column("value"), 100.0), ndigits=0), pa.int64()

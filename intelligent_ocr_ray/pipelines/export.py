@@ -121,7 +121,12 @@ def export_md_media(ds, out_dir: str, media_col: str = "image"):
         functools.partial(_assemble_md_media, out_dir=out_dir, media_col=media_col),
         batch_format="pyarrow",
     )
-    conv.write_parquet(out_dir)
+    # materialize ONCE: the group task writes media sidecars as a side
+    # effect, so a lazy hand-back would re-write every file on each
+    # consumer iteration; parquet goes to a subdir so a reader of the
+    # conversation view never trips over media/*.bin
+    conv = conv.materialize()
+    conv.write_parquet(os.path.join(out_dir, "conversations"))
     return conv
 
 

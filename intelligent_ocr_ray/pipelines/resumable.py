@@ -72,7 +72,8 @@ def _profile_counters(body: pa.Table) -> str:
 
 
 def _extract_write_partition(
-    group: pa.Table, out_dir: str, config: ExtractorConfig, use_ladder: bool
+    group: pa.Table, out_dir: str, config: ExtractorConfig, use_ladder: bool,
+    tmp_tag: str = "",
 ) -> pa.Table:
     """FUSED partition task: sort the narrow input partition, run the
     (process-cached) extractor, write — one task does everything for its
@@ -88,7 +89,10 @@ def _extract_write_partition(
     part = int(group.column("part")[0].as_py())
     narrow = sort_within_batch(group.drop_columns(["part"]))
     body = extract_batch(narrow, config, use_ladder=use_ladder)
-    tmp = os.path.join(out_dir, f"_tmp-part={part:04d}")
+    # attempt-scoped tmp dir: a zombie task abandoned by the watchdog
+    # keeps writing its OWN attempt's prefix and can never race a later
+    # attempt's files (the stale dirs are swept on the next resume)
+    tmp = os.path.join(out_dir, f"_tmp{tmp_tag}-part={part:04d}")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     pq.write_table(body, os.path.join(tmp, "data.parquet"), compression=PARTITION_CODEC)
@@ -103,7 +107,7 @@ def _extract_write_partition(
     )
 
 
-def _write_partition(group: pa.Table, out_dir: str) -> pa.Table:
+def _write_partition(group: pa.Table, out_dir: str, tmp_tag: str = "") -> pa.Table:
     """map_groups fn: sort the partition, write it to a _tmp dir, return
     a one-row summary (the driver does the atomic commit). Workers write
     directly to out_dir — on a real cluster that directory must be
@@ -111,7 +115,7 @@ def _write_partition(group: pa.Table, out_dir: str) -> pa.Table:
     t0 = time.perf_counter()
     part = int(group.column("part")[0].as_py())
     body = sort_within_batch(group.drop_columns(["part"]))
-    tmp = os.path.join(out_dir, f"_tmp-part={part:04d}")
+    tmp = os.path.join(out_dir, f"_tmp{tmp_tag}-part={part:04d}")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     pq.write_table(body, os.path.join(tmp, "data.parquet"), compression=PARTITION_CODEC)
@@ -145,6 +149,7 @@ def _attempt(
     fuse_extract: bool,
     use_ladder: bool,
     read_num_blocks: int | None,
+    tmp_tag: str,
 ) -> tuple[bool, Exception | None]:
     """One pass over the manifest's pending partitions under one config
     profile. Partitions are committed AS THEY COMPLETE (streaming
@@ -178,13 +183,22 @@ def _attempt(
                 out_dir=out_dir,
                 config=config,
                 use_ladder=use_ladder,
+                tmp_tag=tmp_tag,
             ),
             batch_format="pyarrow",
         )
     else:
-        extracted = extract_fn(
-            ds, config, batch_size=batch_size, concurrency=concurrency
-        )
+        if extract_fn is extract_dataset:
+            # forward the ladder flag (custom extract_fn hooks own their
+            # own retry semantics and keep the narrower signature)
+            extracted = extract_fn(
+                ds, config, batch_size=batch_size, concurrency=concurrency,
+                use_ladder=use_ladder,
+            )
+        else:
+            extracted = extract_fn(
+                ds, config, batch_size=batch_size, concurrency=concurrency
+            )
         # ExtractTurns drops auxiliary columns; recompute the partition
         # key from (conv_id, turn_idx) — same deterministic hash + salt.
         extracted = extracted.map_batches(
@@ -194,7 +208,7 @@ def _attempt(
             zero_copy_batch=True,
         )
         summaries = extracted.groupby("part").map_groups(
-            functools.partial(_write_partition, out_dir=out_dir),
+            functools.partial(_write_partition, out_dir=out_dir, tmp_tag=tmp_tag),
             batch_format="pyarrow",
         )
 
@@ -267,7 +281,7 @@ def _attempt(
                 pass
     # partitions with no rows at all still count as done (empty)
     for part in sorted(pending - seen):
-        tmp = os.path.join(out_dir, f"_tmp-part={part:04d}")
+        tmp = os.path.join(out_dir, f"_tmp{tmp_tag}-part={part:04d}")
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         manifest.commit_partition(part, tmp, 0, 0.0, profile=profile)
@@ -308,7 +322,11 @@ def run_resumable(
 
     ``partition_timeout_s`` (R4): inactivity watchdog — if no partition
     commits within the budget the attempt is declared hung and abandoned
-    (core/task_manager.py:288,313-332 analog). ``degraded_rerun`` (task-
+    (core/task_manager.py:288,313-332 analog). NOTE the FIRST commit
+    only lands after the whole upstream read/shuffle (and, unfused, the
+    extract map) clears the groupby barrier — size the budget to cover
+    that full phase, not the steady-state commit cadence (the
+    reference's 1800 s per-task budget is the right order). ``degraded_rerun`` (task-
     level R3, desktop/workers.py:357-389 analog): after a failed or hung
     attempt, the STILL-PENDING partitions are rerun under each
     progressively-degraded ladder profile (functions.extract.
@@ -340,6 +358,11 @@ def run_resumable(
     if not manifest.pending():
         return manifest
 
+    # sweep stale tmp dirs from crashed/abandoned attempts of prior runs
+    for name in os.listdir(out_dir):
+        if name.startswith("_tmp"):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
     run_t0 = time.perf_counter()
     profiles: list[tuple[str | None, ExtractorConfig]] = [(None, config)]
     if degraded_rerun:
@@ -348,7 +371,7 @@ def run_resumable(
             for k, cfg in enumerate(degraded_ladder(config))
         ]
     last_err: Exception | None = None
-    for profile, cfg in profiles:
+    for attempt_i, (profile, cfg) in enumerate(profiles):
         if not manifest.pending():
             break
         completed, last_err = _attempt(
@@ -369,6 +392,7 @@ def run_resumable(
             fuse_extract=fuse_extract,
             use_ladder=use_ladder,
             read_num_blocks=read_num_blocks,
+            tmp_tag=f"-a{attempt_i}",
         )
         if completed:
             break

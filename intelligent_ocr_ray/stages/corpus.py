@@ -129,19 +129,13 @@ def vocab_topk(ds, k: int = 100, *, text_col: str = "text", num_parts: int = 64)
     )
 
     def add_part(t: pa.Table) -> pa.Table:
-        # cheap deterministic token hash → coarse partition id
-        import hashlib
+        # vectorized deterministic token hash → coarse partition id
+        # (pandas hash_array = siphash with a fixed key: C-speed and
+        # process-independent, unlike builtin hash())
+        import pandas as pd
 
-        toks = t.column("token").to_pylist()
-        part = np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(x.encode(), digest_size=2).digest(), "little")
-                % num_parts
-                for x in toks
-            ),
-            dtype=np.int32,
-            count=len(toks),
-        )
+        toks = np.asarray(t.column("token").cast(pa.large_string()), dtype=object)
+        part = (pd.util.hash_array(toks) % num_parts).astype(np.int32)
         return t.append_column("vpart", pa.array(part, pa.int32()))
 
     parted = partials.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)

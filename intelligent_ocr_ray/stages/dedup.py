@@ -634,6 +634,7 @@ def connected_components_distributed(
         .materialize()
     )
 
+    converged = False
     for _ in range(max_rounds):
         # candidate label per node = min label among its neighbors
         cand = (
@@ -670,7 +671,13 @@ def connected_components_distributed(
         n_changed = stepped.sum("changed")
         labels = stepped.drop_columns(["changed"]).materialize()
         if not n_changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"component labeling did not converge in {max_rounds} rounds "
+            "(component diameter exceeds the budget — raise max_rounds)"
+        )
     return labels
 
 

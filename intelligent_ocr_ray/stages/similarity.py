@@ -98,6 +98,8 @@ def _block_pairs(
         ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
         ia, ib = ids_a[ai], ids_a[bi]
         cos = sims[ai, bi]
+        keep = ia != ib  # defensive: duplicate ids within one block
+        ia, ib, cos = ia[keep], ib[keep], cos[keep]
     else:
         ids_b = np.asarray(tb.column(ID_COL), dtype=np.int64)
         mb = _normalize(_matrix(tb))
@@ -342,11 +344,19 @@ def sample_matrix(parquet_path: str, target_rows: int) -> tuple[np.ndarray, np.n
     n_rows = pq.read_metadata(parquet_path).num_rows
     ds = rd.read_parquet(parquet_path, columns=[ID_COL, EMB_COL])
     if n_rows > target_rows:
-        pct = max(1, (target_rows * 100) // n_rows)
+        # fine-grained threshold (not an integer-percent floor): the
+        # kept fraction tracks target_rows/n_rows, so the sample stays
+        # ~target_rows at ANY corpus size instead of growing as n/100.
+        # TWO Lehmer steps: a single id·48271 mod M is monotone for
+        # consecutive small ids (never wraps below id≈44k), so a raw
+        # threshold compare would keep a contiguous prefix; the second
+        # step equidistributes before the compare.
+        thresh = max(1, (target_rows * 2147483647) // n_rows)
 
         def keep(t: pa.Table) -> pa.Table:
             ids = np.asarray(t.column(ID_COL), dtype=np.int64)
-            sel = ((ids * 48271) % 2147483647) % 100 < pct
+            h = (((ids * 48271) % 2147483647) * 48271) % 2147483647
+            sel = h < thresh
             return t.filter(pa.array(sel))
 
         ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

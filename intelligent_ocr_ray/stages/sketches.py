@@ -22,6 +22,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 DEFAULT_K = 64
 _SCALE = 1 << 64
@@ -35,11 +36,11 @@ def _md5_hex(vals: list) -> list[str]:
 def _kmv_partial(batch: pa.Table, group_col: str, value_col: str, k: int) -> pa.Table:
     """Per-batch combiner: distinct (group, value) → md5 hex → k
     smallest per group. Output ≤ k rows per group per batch."""
-    pairs = (
-        batch.select([group_col, value_col])
-        .group_by([group_col, value_col])
-        .aggregate([])
-    )
+    sel = batch.select([group_col, value_col])
+    # null values are excluded on BOTH sides (md5(NULL) is NULL in the
+    # oracle; str(None) would hash the literal 'None' here)
+    sel = sel.filter(pc.is_valid(sel.column(value_col)))
+    pairs = sel.group_by([group_col, value_col]).aggregate([])
     groups = pairs.column(group_col).to_pylist()
     hx = np.array(_md5_hex(pairs.column(value_col).to_pylist()), dtype=object)
     garr = np.array(groups, dtype=object)

@@ -162,7 +162,7 @@ class RunManifest:
         import shutil
 
         for name in os.listdir(self.out_dir):
-            if name.startswith("part=") or name.startswith("_tmp-part="):
+            if name.startswith("part=") or name.startswith("_tmp"):
                 shutil.rmtree(os.path.join(self.out_dir, name), ignore_errors=True)
 
     # -- API ---------------------------------------------------------------

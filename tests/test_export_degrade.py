@@ -182,7 +182,9 @@ def test_export_md_media_writes_sidecars(tmp_path):
     assert "![turn 1]" not in a  # null media → text-only block
     with open(os.path.join(out, "media", "a", "turn-00000.bin"), "rb") as f:
         assert f.read() == fake_image_bytes(1)
-    # the parquet view is also written
+    # the parquet view is written to its own subdir (no media/*.bin in
+    # the same directory a parquet reader would scan)
     import glob
 
-    assert glob.glob(os.path.join(out, "*.parquet"))
+    assert glob.glob(os.path.join(out, "conversations", "*.parquet"))
+    assert not glob.glob(os.path.join(out, "*.parquet"))
