@@ -102,3 +102,35 @@ def test_vocab_topk_counts_and_tiebreak():
     rows = vocab_topk(ds, k=2).take_all()
     # a:3 b:3 c:1 → top-2 tie between a and b broken by token asc
     assert [(r["token"], r["n"]) for r in rows] == [("a", 3), ("b", 3)]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abXY9é", min_size=1, max_size=5), min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_chunking_partitions_tokens_exactly(docs_tokens, chunk_size):
+    """Property: chunks tile each document's token sequence exactly —
+    re-joining all chunk_texts reproduces the token sequence, every
+    chunk except the last is full, indices are dense."""
+    texts = [" ".join(toks) for toks in docs_tokens]
+    out = chunk_tokens_batch(_tbl(texts), chunk_size=chunk_size).to_pylist()
+    by_doc: dict[int, list[dict]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(docs_tokens):
+        rows = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        rebuilt = [t for r in rows for t in r["chunk_text"].split(" ") if t != ""]
+        assert rebuilt == toks, (i, toks, rows)
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        for j, r in enumerate(rows):
+            want = chunk_size if j < len(rows) - 1 else len(toks) - chunk_size * j
+            assert r["n_chunk_tokens"] == want
