@@ -210,3 +210,55 @@ def test_events_asof_and_rolling_semantics(tmp_path):
         g = got[cols].sort_values(cols).reset_index(drop=True)
         w = want[cols].sort_values(cols).reset_index(drop=True)
         assert g.astype(str).equals(w.astype(str)), name
+
+
+def test_events_asof_fuzz_vs_bruteforce(tmp_path):
+    """Randomized log with heavy ts collisions: the vectorized
+    merge-scan as-of join equals the O(n²) per-click reference."""
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = random.Random(77)
+    n = 600
+    us = 1_000_000
+    rows = []
+    for eid in range(n):
+        rows.append(
+            (
+                eid,
+                rng.randrange(0, 40) * us,  # small ts range → many ties
+                rng.randrange(0, 8),
+                rng.choice(["view", "click", "purchase"]),
+            )
+        )
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = {
+        r["click_id"]: (r["view_id"], r["gap_us"])
+        for r in entrymod.queries()["events_asof"](str(tmp_path)).take_all()
+    }
+    views = [r for r in rows if r[3] == "view"]
+    clicks = [r for r in rows if r[3] == "click"]
+    assert len(got) == len(clicks) > 0
+    for ce, cts, cu, _ in clicks:
+        cand = [(vts, ve) for ve, vts, vu, _ in views if vu == cu and vts <= cts]
+        want = max(cand)[::-1] if cand else None  # latest ts, then max event_id
+        if want is None:
+            assert got[ce] == (None, None), ce
+        else:
+            ve, vts = want
+            assert got[ce] == (ve, cts - vts), (ce, got[ce], want)
