@@ -262,3 +262,45 @@ def test_events_asof_fuzz_vs_bruteforce(tmp_path):
         else:
             ve, vts = want
             assert got[ce] == (ve, cts - vts), (ce, got[ce], want)
+
+
+def test_events_rolling_fuzz_with_nulls_vs_oracle(tmp_path):
+    """Randomized log including NULL values: the Ray rolling window
+    matches the DuckDB oracle (both exclude null-value events)."""
+    import os
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = random.Random(99)
+    n = 500
+    day_us = 86_400_000_000
+    rows = []
+    for eid in range(n):
+        val = None if rng.random() < 0.15 else round(rng.uniform(0.01, 500.0), 2)
+        rows.append((eid, rng.randrange(0, 20) * day_us + rng.randrange(0, day_us), rng.randrange(0, 6), val))
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["purchase"] * n, pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = entrymod.queries()["events_rolling"](str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.sql(entrymod.oracle_sql()["events_rolling"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    w = want[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert len(g) > 0 and g.equals(w)
