@@ -317,12 +317,15 @@ def _q_embedding_neardup(sf_dir: str):
 
 
 def _q_embedding_neardup_lsh(sf_dir: str):
-    """Sub-quadratic approximate variant: multi-assign centroid buckets
-    → within-bucket exact verify. Rows-only; recall vs the exact
-    operator (measured 0.96-0.97) is pytest-checked."""
+    """Sub-quadratic bucketed variant, driver-verified EXACTLY: with
+    n_assign = n_lists every vector lands in every bucket, so the
+    bucketed machinery (assign → bucket groupby → in-bucket verify →
+    pair dedup) provably reproduces the exact operator and reuses its
+    cell-for-cell DuckDB oracle. The approximate production config
+    (n_assign < n_lists) keeps its measured-recall pytest."""
     from intelligent_ocr_ray.stages.similarity import embedding_neardup_bucketed
 
-    return embedding_neardup_bucketed(sf_dir, threshold=0.4)
+    return embedding_neardup_bucketed(sf_dir, threshold=0.4, n_lists=4, n_assign=4)
 
 
 def _q_ann_topk(sf_dir: str):
@@ -332,11 +335,15 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-k (scale path of ann_topk);
-    rows-only — recall vs exact is pytest-checked."""
+    """IVF-bucketed top-k, driver-verified EXACTLY: with nprobe =
+    n_lists every query probes every bucket, so the IVF machinery
+    (centroid train → bucket assign → per-bucket search → final merge)
+    provably reproduces exact brute-force top-k and reuses the ann_topk
+    DuckDB oracle (incl. rank tie-breaks). The approximate production
+    config (nprobe < n_lists) keeps its measured-recall pytest."""
     from intelligent_ocr_ray.stages.similarity import ivf_topk
 
-    return ivf_topk(sf_dir, n_queries=8, k=10)
+    return ivf_topk(sf_dir, n_queries=8, k=10, n_lists=8, nprobe=8)
 
 
 def _q_conv_stats(sf_dir: str):
@@ -568,6 +575,30 @@ def _ngram_lang_sql() -> str:
                     ELSE '{langs[-1]}' END AS lang_ngram
         FROM h
     """
+
+
+_EMB_NEARDUP_SQL = """
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           CAST(round_even(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])) * 1000000, 0) AS BIGINT) AS cos_micros
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+_ANN_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 8),
+    d AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, list_cosine_similarity(q.e, d.e) AS cos
+          FROM q CROSS JOIN d WHERE neighbor_id <> query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id,
+           CAST(round_even(cos * 1000000, 0) AS BIGINT) AS cos_micros, rank
+    FROM r WHERE rank <= 10
+"""
 
 
 # Layout-line grammar for the pdfish status branch of the
@@ -886,25 +917,11 @@ def oracle_sql() -> dict[str, str]:
         # round-half-even micros (np.round ≡ round_even) because raw
         # doubles differ in the last bits between numpy matmul and
         # DuckDB's sequential summation.
-        "embedding_neardup": """
-            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-                   CAST(round_even(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                          CAST(b.embedding AS DOUBLE[])) * 1000000, 0) AS BIGINT) AS cos_micros
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
-        """,
-        "ann_topk": """
-            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
-                       FROM embeddings WHERE vec_id < 8),
-            d AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-            s AS (SELECT query_id, neighbor_id, list_cosine_similarity(q.e, d.e) AS cos
-                  FROM q CROSS JOIN d WHERE neighbor_id <> query_id),
-            r AS (SELECT query_id, neighbor_id, cos,
-                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-                  FROM s)
-            SELECT query_id, neighbor_id,
-                   CAST(round_even(cos * 1000000, 0) AS BIGINT) AS cos_micros, rank
-            FROM r WHERE rank <= 10
-        """,
+        "embedding_neardup": _EMB_NEARDUP_SQL,
+        # exhaustive-bucket config (n_assign = n_lists) ≡ exact, so the
+        # bucketed pipeline is held to the same cell-for-cell oracle
+        "embedding_neardup_lsh": _EMB_NEARDUP_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
+        # nprobe = n_lists config ≡ exact brute-force top-k
+        "ann_ivf": _ANN_TOPK_SQL,
     }

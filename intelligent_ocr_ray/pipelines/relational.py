@@ -57,15 +57,35 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
 
 def _key_lookup(keys: "pa.Array | pa.ChunkedArray", values) -> "tuple":
     """Dense int-key → value lookup table from a tiny dimension table
-    (TPC-H keys are small dense ints). Returns (np value array, offset)."""
+    (TPC-H keys are small dense ints). Returns (np value array, offset,
+    valid mask): slots absent from the dimension are marked invalid so a
+    fact row referencing them is DROPPED (inner-join semantics) rather
+    than mapped to garbage; fact keys outside [lo, hi] must be dropped
+    by the caller via :func:`_lookup_take` too."""
     import numpy as np
 
     k = np.asarray(keys, dtype=np.int64)
     lo, hi = int(k.min()), int(k.max())
     vals = np.asarray(values.to_pylist() if hasattr(values, "to_pylist") else values)
-    table = np.empty(hi - lo + 1, dtype=vals.dtype)
+    table = np.zeros(hi - lo + 1, dtype=vals.dtype)
+    valid = np.zeros(hi - lo + 1, dtype=bool)
     table[k - lo] = vals
-    return table, lo
+    valid[k - lo] = True
+    return table, lo, valid
+
+
+def _lookup_take(fact_keys, table, lo, valid) -> "tuple":
+    """Inner-join a fact-side int key column against a dense lookup:
+    returns (keep_indices, mapped_values) with out-of-range and
+    absent-key rows dropped — never uninitialized reads, never
+    IndexError on referential-integrity violations."""
+    import numpy as np
+
+    nk = np.asarray(fact_keys, dtype=np.int64)
+    in_range = (nk >= lo) & (nk < lo + len(table))
+    idx = np.where(in_range, nk - lo, 0)
+    keep = np.flatnonzero(in_range & valid[idx])
+    return keep, table[nk[keep] - lo]
 
 
 def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
@@ -90,14 +110,14 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
-    names, off = _key_lookup(nation.column("n_nationkey"), nation.column("n_name"))
+    names, off, nvalid = _key_lookup(nation.column("n_nationkey"), nation.column("n_name"))
 
     def partial(batch: pa.Table) -> pa.Table:
-        nk = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
+        keep, mapped = _lookup_take(batch.column("c_nationkey"), names, off, nvalid)
         t = pa.table(
             {
-                "n_name": pa.array(names[nk - off], pa.string()),
-                "o_totalprice": batch.column("o_totalprice"),
+                "n_name": pa.array(mapped, pa.string()),
+                "o_totalprice": batch.column("o_totalprice").take(pa.array(keep)),
             }
         )
         return pa.TableGroupBy(t, ["n_name"]).aggregate(
@@ -111,15 +131,27 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
     )
 
 
-def top_parts_by_size(sf_dir: str) -> rd.Dataset:
-    """Top-10 parts by retail price within large sizes — sort + limit."""
+def top_parts_by_size(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Top-k parts by retail price within large sizes — partial top-k
+    per batch → one tiny k×n_blocks merge. No global sort: a range
+    shuffle of the whole filtered fact table for a 10-row answer is an
+    all-to-all the TopKPartial pattern (stages/similarity.py) makes
+    unnecessary; here only ≤ k rows leave each block."""
     parts = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
-    big = parts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("p_size"), 25)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    keys = [("p_retailprice", "descending"), ("p_partkey", "ascending")]
+
+    def topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=keys)
+        return t.take(order.slice(0, k))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return topk(t.filter(pc.greater_equal(t.column("p_size"), 25)))
+
+    partials = parts.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # single-block merge of the ≤ k-per-block partials (narrow move)
+    return partials.repartition(1).map_batches(
+        topk, batch_format="pyarrow", zero_copy_batch=True
     )
-    return big.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
 
 
 def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
@@ -138,14 +170,14 @@ def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
         os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
     )
     dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey")
-    rnames, off = _key_lookup(dim.column("n_nationkey"), dim.column("r_name"))
+    rnames, off, rvalid = _key_lookup(dim.column("n_nationkey"), dim.column("r_name"))
 
     def partial(batch: pa.Table) -> pa.Table:
-        nk = np.asarray(batch.column("s_nationkey"), dtype=np.int64)
+        keep, mapped = _lookup_take(batch.column("s_nationkey"), rnames, off, rvalid)
         t = pa.table(
             {
-                "r_name": pa.array(rnames[nk - off], pa.string()),
-                "s_acctbal": batch.column("s_acctbal"),
+                "r_name": pa.array(mapped, pa.string()),
+                "s_acctbal": batch.column("s_acctbal").take(pa.array(keep)),
             }
         )
         return pa.TableGroupBy(t, ["r_name"]).aggregate(

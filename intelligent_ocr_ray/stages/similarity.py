@@ -120,7 +120,19 @@ def _block_pairs(
     )
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.95, *, block_rows: int = 4096):
+## Above this many corpus blocks the exact operator's n_blocks² driver
+## ref-pair loop itself becomes the bottleneck (~32k task submissions);
+## past it the bucketed variant is the intended path.
+MAX_EXACT_BLOCKS = 256
+
+
+def embedding_neardup(
+    sf_dir: str,
+    threshold: float = 0.95,
+    *,
+    block_rows: int = 4096,
+    max_blocks: int = MAX_EXACT_BLOCKS,
+):
     """EXACT pairs of embeddings with cosine ≥ τ.
 
     Scale shape: the corpus is materialized once into object-store
@@ -141,6 +153,15 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, *, block_rows: int =
     path = os.path.join(sf_dir, "embeddings.parquet")
     n_rows = pq.read_metadata(path).num_rows
     n_blocks = max(1, math.ceil(n_rows / block_rows))
+    if n_blocks > max_blocks:
+        raise ValueError(
+            f"embedding_neardup is the EXACT O(n²) operator: {n_blocks} corpus "
+            f"blocks would submit {n_blocks * (n_blocks + 1) // 2} block-pair "
+            f"tasks (> max_blocks={max_blocks} crossover). Use "
+            "embedding_neardup_bucketed (sub-quadratic, measured recall "
+            "0.96-0.97) at this scale, or raise block_rows/max_blocks "
+            "explicitly if the quadratic cost is intended."
+        )
     ds = rd.read_parquet(
         path, columns=[ID_COL, EMB_COL], override_num_blocks=n_blocks
     )

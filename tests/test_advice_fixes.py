@@ -122,3 +122,20 @@ def test_flagship_does_not_leak_datacontext(tmp_path):
     out = ds.select_columns(["conv_id", "turn_idx"]).take_all()
     keys = [(r["conv_id"], r["turn_idx"]) for r in out]
     assert keys == sorted(keys)
+
+
+def test_key_lookup_inner_join_semantics():
+    """Dimension keys absent from the table and fact keys outside the
+    dense range are DROPPED (inner-join semantics), never uninitialized
+    reads or IndexError (ADVICE r2: relational._key_lookup)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intelligent_ocr_ray.pipelines.relational import _key_lookup, _lookup_take
+
+    # dimension with a hole at key 3
+    table, lo, valid = _key_lookup(pa.array([2, 4, 5]), pa.array(["b", "d", "e"]))
+    fact = pa.array([2, 3, 4, 99, -7, 5])  # 3 absent; 99/-7 out of range
+    keep, mapped = _lookup_take(fact, table, lo, valid)
+    assert list(keep) == [0, 2, 5]
+    assert list(mapped) == ["b", "d", "e"]

@@ -331,3 +331,37 @@ def test_dedup_corpus_distributed_path_equals_driver_path():
     )
     assert via_driver == via_joins
     assert len(via_driver) < 500  # something was actually dropped
+
+
+def test_embedding_neardup_block_crossover_guard():
+    """Past the block-count crossover the exact operator refuses and
+    points at the bucketed variant (the driver loop submits n_blocks²
+    refs — bounded-memory but not bounded-submission)."""
+    with pytest.raises(ValueError, match="bucketed"):
+        embedding_neardup(SF, threshold=0.4, block_rows=8, max_blocks=4)
+    # explicit override keeps the quadratic path available
+    got = embedding_neardup(SF, threshold=0.4, block_rows=128, max_blocks=10_000)
+    assert got.count() > 0
+
+
+def test_exhaustive_bucket_configs_equal_exact():
+    """The driver-verified configs: n_assign=n_lists (near-dup) and
+    nprobe=n_lists (IVF) must reproduce the exact operators exactly —
+    this is what lets them share the exact DuckDB oracles."""
+    from intelligent_ocr_ray.stages.similarity import embedding_neardup_bucketed
+
+    key = ["vec_id_a", "vec_id_b"]
+    exact = embedding_neardup(SF, threshold=0.4).to_pandas().sort_values(key).reset_index(drop=True)
+    exh = (
+        embedding_neardup_bucketed(SF, threshold=0.4, n_lists=4, n_assign=4)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    assert exact.equals(exh)
+
+    kq = ["query_id", "rank"]
+    topk = ann_topk(SF, n_queries=4, k=5).to_pandas().sort_values(kq).reset_index(drop=True)
+    ivf = (
+        ivf_topk(SF, n_queries=4, k=5, n_lists=8, nprobe=8)
+        .to_pandas().sort_values(kq).reset_index(drop=True)
+    )
+    assert topk.equals(ivf)

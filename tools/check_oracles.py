@@ -2,7 +2,8 @@
 queries() entry AND its oracle_sql() twin on the same sf dir, compare
 row-count + schema + order-insensitive values.
 
-Usage: PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir]
+Usage: PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir] [query ...]
+(with query names given, only those entries run)
 """
 
 from __future__ import annotations
@@ -38,7 +39,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: list[str] | None = None):
     import ray
 
     if not ray.is_initialized():
@@ -60,6 +61,8 @@ def main(sf_dir: str):
 
     failures = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         got = canon(to_pandas(fn(sf_dir)))
         if name not in oracles:
             print(f"{name:24s} rows={len(got):6d}  (rows-only, no oracle)")
@@ -92,4 +95,7 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+        sys.argv[2:] or None,
+    )
