@@ -7,9 +7,13 @@ Each ``queries()`` entry is one implemented operator/pipeline from
 SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` carries the
 DuckDB-equivalent SQL for every SQL-expressible entry — column names
 match exactly (the driver hashes values after sorting columns by name).
-Non-SQL-expressible entries (full extractor parsers, minhash, ANN) are
-rows-only checked by the driver and verified instead by the in-repo
-serial-oracle pytest suite.
+The two remaining non-SQL-expressible entries (the full extractor over
+transcripts and the stubbed multimodal codecs) are rows-only checked by
+the driver and verified instead by the in-repo serial-oracle pytest
+suite; everything else — including minhash/simhash (md5-derived modular
+hash arithmetic the oracle replays), the end-to-end near-dedup
+(recursive-CTE closure) and the bucketed ANN variants (exhaustive
+configs ≡ exact) — is hash-verified cell-for-cell.
 """
 
 from __future__ import annotations
@@ -282,14 +286,19 @@ def _q_ngram_jaccard_dups(sf_dir: str):
 
 def _q_minhash_dups(sf_dir: str):
     """MinHash(64)+LSH(16×4) near-dup candidates, est. Jaccard ≥ 0.5.
-    Rows-only for the driver; the pytest suite checks recall against
-    the exact n-gram Jaccard operator."""
+    DuckDB-oracled cell-for-cell: all hash arithmetic is md5-derived
+    32-bit modular math the oracle replays verbatim (see _minhash_cte);
+    the pytest suite additionally checks recall against the exact
+    n-gram Jaccard operator."""
     from intelligent_ocr_ray.stages.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
 
 
 def _q_simhash_dups(sf_dir: str):
+    """SimHash(64) Hamming-≤3 pairs via 4×16-bit pigeonhole banding.
+    DuckDB-oracled cell-for-cell (md5-derived token hashes; the oracle
+    rebuilds the sign-packed hash and bit_count(xor) in SQL)."""
     from intelligent_ocr_ray.stages.dedup import simhash_pairs
 
     return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
@@ -297,9 +306,10 @@ def _q_simhash_dups(sf_dir: str):
 
 def _q_minhash_dedup_docs(sf_dir: str):
     """End-to-end near-dedup: MinHash/LSH pairs → connected components →
-    keep the min-id representative per component. Rows-only (transitive
-    closure is not SQL-friendly); the pytest oracle union-finds the
-    exact n-gram-Jaccard pair graph."""
+    keep the min-id representative per component. DuckDB-oracled: the
+    pair CTEs + a RECURSIVE transitive closure reproduce the drop set
+    exactly; pytest additionally union-finds the exact n-gram-Jaccard
+    pair graph."""
     from intelligent_ocr_ray.stages.dedup import dedup_corpus, minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
@@ -400,6 +410,9 @@ def _q_multimodal_decode(sf_dir: str):
 
 
 def _q_fingerprint(sf_dir: str):
+    """Order-sensitive rolling document fingerprint (Horner chain of
+    md5-derived token hashes mod 2^61-1). DuckDB-oracled: the oracle
+    replays the fold with list_reduce over md5_number_lower."""
     from intelligent_ocr_ray.stages.text_stats import Fingerprint
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -575,6 +588,133 @@ def _ngram_lang_sql() -> str:
                     ELSE '{langs[-1]}' END AS lang_ngram
         FROM h
     """
+
+
+def _minhash_cte() -> str:
+    """CTE chain replaying stages/dedup.py's MinHash+LSH pipeline in
+    DuckDB, bit-for-bit: 32-bit md5 gram hashes (md5_number_lower %
+    2^32), the SAME 64 seeded (a, b) permutation constants inlined as
+    VALUES, (a·g+b) mod 2^32 slot minima (HUGEINT — every intermediate
+    < 2^64), the sentinel signature for gramless docs, the packed
+    band-key mix mod 2^61-1, the bucket-size cap, and est_jaccard =
+    agreeing-slots/64.0 (count/64 is exact in both engines' doubles)."""
+    from intelligent_ocr_ray.stages.dedup import (
+        BAND_KEY_MOD,
+        BAND_KEY_MUL,
+        MINHASH_EMPTY,
+        MinHashLSH,
+        N_PERM,
+    )
+
+    mh = MinHashLSH()
+    perm_rows = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    m = BAND_KEY_MOD
+    return f"""
+toks AS (SELECT doc_id, regexp_extract_all(text, {_TOKEN_RE_SQL}) AS w FROM documents),
+gidx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
+grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram FROM gidx),
+gh AS (SELECT doc_id, CAST(md5_number_lower(gram) % 4294967296 AS HUGEINT) AS g FROM grams),
+perms AS (SELECT * FROM (VALUES {perm_rows}) p(i, a, b)),
+sig0 AS (SELECT doc_id, i, min((CAST(a AS HUGEINT) * g + b) % 4294967296) AS mv
+         FROM gh CROSS JOIN perms GROUP BY doc_id, i),
+sige AS (SELECT doc_id, i, CAST({MINHASH_EMPTY} AS HUGEINT) AS mv
+         FROM (SELECT doc_id FROM toks WHERE len(w) < 3)
+         CROSS JOIN (SELECT unnest(range({N_PERM})) AS i)),
+sig AS (SELECT * FROM sig0 UNION ALL SELECT * FROM sige),
+bk AS (SELECT doc_id, i // 4 AS band_idx,
+              CAST((((max(CASE WHEN i % 4 = 0 THEN mv END) * 4294967296
+                      + max(CASE WHEN i % 4 = 1 THEN mv END)) % {m}) * {BAND_KEY_MUL}
+                    + ((max(CASE WHEN i % 4 = 2 THEN mv END) * 4294967296
+                      + max(CASE WHEN i % 4 = 3 THEN mv END)) % {m})) % {m} AS BIGINT) AS band_key
+       FROM sig GROUP BY doc_id, i // 4),
+bsz AS (SELECT band_idx, band_key, count(*) AS sz FROM bk GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                            AND a.doc_id < b.doc_id
+         JOIN bsz s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
+         WHERE s.sz <= 200),
+est AS (SELECT c.doc_a, c.doc_b,
+               sum(CASE WHEN sa.mv = sb.mv THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+        GROUP BY 1, 2)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+        WITH {_minhash_cte()}
+        SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """
+
+
+def _minhash_dedup_sql() -> str:
+    """End-to-end near-dedup oracle: the minhash pair CTEs + a
+    RECURSIVE transitive closure over the (tiny, near-dup-only) pair
+    graph — keep the min-id representative per connected component,
+    exactly dedup_corpus's union-find semantics."""
+    return f"""
+        WITH RECURSIVE {_minhash_cte()},
+        mpairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM mpairs
+                  UNION SELECT doc_b, doc_a FROM mpairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        dropped AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) < a)
+        SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM dropped)
+    """
+
+
+def _simhash_sql() -> str:
+    """SQL replay of stages/dedup.py's SimHash pipeline: md5-derived
+    64-bit token hashes, frequency-weighted bit votes, sign-packed into
+    a uint64 (carried as HUGEINT, emitted as two's-complement BIGINT),
+    4×16-bit band bucketing with the bucket cap, Hamming =
+    bit_count(xor) ≤ 3."""
+    return """
+        WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \\t\\r\\n]+')) AS t
+                    FROM documents),
+        tw AS (SELECT doc_id, t, count(*) AS w FROM tk GROUP BY doc_id, t),
+        bits AS (SELECT doc_id, j,
+                        sum(CASE WHEN (md5_number_lower(t) >> j) & 1 = 1 THEN w ELSE -w END) AS acc
+                 FROM tw CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j),
+        shp AS (SELECT doc_id,
+                       sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << j
+                                ELSE CAST(0 AS HUGEINT) END) AS shu
+                FROM bits GROUP BY doc_id),
+        sh AS (SELECT * FROM shp
+               UNION ALL
+               SELECT doc_id, CAST(0 AS HUGEINT) FROM documents
+               WHERE len(regexp_extract_all(text, '[^ \\t\\r\\n]+')) = 0),
+        bk AS (SELECT doc_id, b AS band_idx,
+                      CAST((shu // (CAST(1 AS HUGEINT) << (16 * b))) % 65536 AS BIGINT) AS band_key,
+                      CAST(CASE WHEN shu >= 9223372036854775808
+                                THEN shu - 18446744073709551616 ELSE shu END AS BIGINT) AS sh64
+               FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b)),
+        bsz AS (SELECT band_idx, band_key, count(*) AS sz FROM bk GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.sh64 AS ha, b.sh64 AS hb
+                 FROM bk a JOIN bk b ON a.band_idx = b.band_idx
+                                    AND a.band_key = b.band_key
+                                    AND a.doc_id < b.doc_id
+                 JOIN bsz s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
+                 WHERE s.sz <= 2000)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """
+
+
+_FINGERPRINT_SQL = f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS HUGEINT),
+               list_transform(regexp_extract_all(text, {_TOKEN_RE_SQL}),
+                              t -> CAST(md5_number_lower(t) AS HUGEINT))),
+             (a, b) -> (a * 1000003 + b) % 2305843009213693951) AS BIGINT) AS fingerprint
+    FROM documents
+"""
 
 
 _EMB_NEARDUP_SQL = """
@@ -917,6 +1057,10 @@ def oracle_sql() -> dict[str, str]:
         # round-half-even micros (np.round ≡ round_even) because raw
         # doubles differ in the last bits between numpy matmul and
         # DuckDB's sequential summation.
+        "fingerprint": _FINGERPRINT_SQL,
+        "minhash_dups": _minhash_sql(),
+        "simhash_dups": _simhash_sql(),
+        "minhash_dedup_docs": _minhash_dedup_sql(),
         "embedding_neardup": _EMB_NEARDUP_SQL,
         # exhaustive-bucket config (n_assign = n_lists) ≡ exact, so the
         # bucketed pipeline is held to the same cell-for-cell oracle

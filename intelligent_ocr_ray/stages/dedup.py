@@ -61,6 +61,15 @@ def _hash64(data: bytes) -> int:
     )
 
 
+def _md5_low64(data: bytes) -> int:
+    """64-bit hash equal to DuckDB's ``md5_number_lower`` (measured:
+    digest bytes [8:16] little-endian) — the cross-engine hash used
+    wherever an oracle must reproduce hash arithmetic bit-for-bit
+    (minhash, simhash, fingerprint; same discipline as the KMV
+    sketch's md5 bottom-k)."""
+    return int.from_bytes(hashlib.md5(data).digest()[8:16], "little")
+
+
 def _gram_hashes(grams: set[str]) -> np.ndarray:
     """Stable 64-bit hash per shingle (uint64)."""
     out = np.empty(len(grams), dtype=np.uint64)
@@ -269,59 +278,96 @@ N_PERM = 64
 BAND_R = 4
 N_BANDS = N_PERM // BAND_R  # 16
 
+# 32-bit minhash value space: every quantity in the pipeline stays
+# < 2^64 before any modulo, so numpy uint64 computes it EXACTLY and
+# DuckDB HUGEINT reproduces it — that is what lets the driver hold
+# minhash_dups to a cell-for-cell SQL oracle instead of rows-only.
+MINHASH_MOD = 1 << 32  # slot values in [0, 2^32)
+MINHASH_EMPTY = MINHASH_MOD - 1  # sentinel signature for gramless docs
+BAND_KEY_MOD = (1 << 61) - 1  # Mersenne; 8·(MOD-1) < 2^64 (no overflow)
+BAND_KEY_MUL = 7  # pair-mix multiplier (collisions only add candidates)
+
+
+def _gram_hashes32(grams: set[str]) -> np.ndarray:
+    """32-bit md5-derived hash per shingle (uint64 array, values < 2^32):
+    md5_number_lower(gram) % 2^32, the form DuckDB reproduces verbatim."""
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = _md5_low64(g.encode("utf-8")) & 0xFFFFFFFF
+    return out
+
+
+def band_keys(sigs: np.ndarray) -> np.ndarray:
+    """(n, N_PERM) signatures → (n, N_BANDS) int64 band keys, fully
+    vectorized: the 4 slot values of a band (each < 2^32) pack into two
+    uint64 words, then mix as ((k12 % M)·7 + (k34 % M)) % M with
+    M = 2^61-1 — every intermediate < 2^64, so numpy uint64 is exact
+    and the oracle's HUGEINT arithmetic matches bit-for-bit. A key
+    collision between distinct bands only ADDS a candidate pair (est
+    is computed from full signatures), identically on both engines."""
+    v = sigs.reshape(-1, N_BANDS, BAND_R)
+    k12 = (v[..., 0] << np.uint64(32)) | v[..., 1]
+    k34 = (v[..., 2] << np.uint64(32)) | v[..., 3]
+    m = np.uint64(BAND_KEY_MOD)
+    key = ((k12 % m) * np.uint64(BAND_KEY_MUL) + (k34 % m)) % m
+    return key.astype(np.int64)
+
 
 class MinHashLSH:
     """Actor-pool stage: per doc, a 64-permutation minhash signature and
     its 16 LSH band keys (r=4), exploded to one row per (doc, band).
 
-    Permutations a·h+b over uint64 wraparound (seeded, built once per
-    actor). The full signature rides along on each band row so the
-    band-bucket groupby can estimate Jaccard *inside the group* without
-    a second signature join — 16× signature duplication (≈8 KB/doc)
-    traded for one fewer shuffle; at 100 TB flip to bucket→candidate-ids
-    →hash-join-signatures if payload amplification dominates."""
+    Permutations (a·g + b) mod 2^32 over 32-bit md5 gram hashes
+    (seeded, built once per actor); a odd, a·g + b < 2^64 so uint64 is
+    exact — deterministic AND DuckDB-reproducible (the minhash_dups
+    oracle replays the identical arithmetic in SQL). The full signature
+    rides along on each band row so the band-bucket groupby can
+    estimate Jaccard *inside the group* without a second signature
+    join — 16× signature duplication (≈8 KB/doc) traded for one fewer
+    shuffle; at 100 TB flip to bucket→candidate-ids→hash-join-
+    signatures if payload amplification dominates."""
 
     def __init__(self, n: int = NGRAM_N, seed: int = 7):
         rng = np.random.RandomState(seed)
         self.a = (
-            rng.randint(1, 1 << 62, size=N_PERM).astype(np.uint64) * np.uint64(2)
+            rng.randint(1, 1 << 31, size=N_PERM).astype(np.uint64) * np.uint64(2)
             + np.uint64(1)
-        )  # odd multipliers
-        self.b = rng.randint(0, 1 << 62, size=N_PERM).astype(np.uint64)
+        )  # odd multipliers < 2^32
+        self.b = rng.randint(0, 1 << 31, size=N_PERM).astype(np.uint64)
         self.n = n
 
     def signature(self, grams: set[str]) -> np.ndarray:
         if not grams:
-            return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-        base = _gram_hashes(grams)  # (G,)
-        with np.errstate(over="ignore"):
-            m = self.a[:, None] * base[None, :] + self.b[:, None]  # (P, G)
+            return np.full(N_PERM, MINHASH_EMPTY, dtype=np.uint64)
+        base = _gram_hashes32(grams)  # (G,) values < 2^32
+        # a·g ≤ (2^32-1)² and +b < 2^64: exact in uint64, no wraparound
+        m = (self.a[:, None] * base[None, :] + self.b[:, None]) & np.uint64(
+            0xFFFFFFFF
+        )  # (P, G)
         return m.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         texts = batch.column("text").to_pylist()
-        out_id: list[int] = []
-        out_band: list[int] = []
-        out_key: list[int] = []
-        sigs: list[np.ndarray] = []
-        for i, t in zip(ids, texts):
-            sig = self.signature(word_ngrams(t, self.n))
-            for band in range(N_BANDS):
-                chunk = sig[band * BAND_R : (band + 1) * BAND_R]
-                out_id.append(i)
-                out_band.append(band)
-                out_key.append(_hash64(chunk.tobytes()))
-                sigs.append(sig)
-        flat = np.concatenate(sigs) if sigs else np.array([], dtype=np.uint64)
+        n = len(texts)
+        sigs = np.empty((n, N_PERM), dtype=np.uint64)
+        for r, t in enumerate(texts):
+            sigs[r] = self.signature(word_ngrams(t, self.n))
+        keys = band_keys(sigs)  # (n, N_BANDS) int64, vectorized
         sig_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(flat.astype(np.int64), pa.int64()), N_PERM
+            pa.array(
+                np.repeat(sigs, N_BANDS, axis=0).reshape(-1).astype(np.int64),
+                pa.int64(),
+            ),
+            N_PERM,
         )
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band_idx": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(np.array(out_key, dtype=np.uint64).astype(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
+                "band_idx": pa.array(
+                    np.tile(np.arange(N_BANDS, dtype=np.int32), n), pa.int32()
+                ),
+                "band_key": pa.array(keys.reshape(-1), pa.int64()),
                 "sig": sig_col,
             }
         )
@@ -461,15 +507,17 @@ SIMHASH_BANDS = 4  # 4 × 16-bit bands → guaranteed hit for hamming ≤ 3
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over token blake2b hashes, weighted by token
-    frequency: bit j of the result = sign of Σ_tokens w·(2·bit_j(h)-1)."""
+    """64-bit SimHash over md5-derived token hashes (md5_number_lower —
+    DuckDB-reproducible, so the simhash_dups oracle replays the whole
+    construction in SQL), weighted by token frequency: bit j of the
+    result = sign of Σ_tokens w·(2·bit_j(h)-1)."""
     toks = _TOKEN_RE.findall(text or "")
     if not toks:
         return 0
     uniq: dict[str, int] = {}
     for t in toks:
         uniq[t] = uniq.get(t, 0) + 1
-    hs = np.array([_hash64(t.encode("utf-8")) for t in uniq], dtype=np.uint64)
+    hs = np.array([_md5_low64(t.encode("utf-8")) for t in uniq], dtype=np.uint64)
     w = np.array(list(uniq.values()), dtype=np.int64)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64

@@ -181,11 +181,11 @@ _TOKEN_RE = _re.compile(TOKEN_PATTERN)
 
 
 def token_hash(token: str) -> int:
-    """Stable 64-bit token hash (blake2b — process-independent, unlike
-    builtin hash())."""
-    return int.from_bytes(
-        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little"
-    )
+    """Stable 64-bit token hash — process-independent (unlike builtin
+    hash()) AND equal to DuckDB's md5_number_lower (digest bytes [8:16]
+    little-endian), so the fingerprint oracle can replay the Horner
+    chain in SQL via list_reduce."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[8:16], "little")
 
 
 def rolling_fingerprint(text: str) -> int:
