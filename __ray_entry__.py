@@ -844,9 +844,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM documents
         """,
+        # null text keys to the 'null' sentinel (never a 32-hex digest)
+        # so NULL and '' remain distinct groups, matching the Ray side
         "exact_dedup": """
-            SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
-            FROM documents GROUP BY md5(text)
+            SELECT CASE WHEN text IS NULL THEN 'null' ELSE md5(text) END AS content_hash,
+                   min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY CASE WHEN text IS NULL THEN 'null' ELSE md5(text) END
         """,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -4,7 +4,8 @@ user_id, event_type, value, props).
 Ray Data has no event-time watermarks; the engine treats events as an
 ordered partitioned log (ray_guide.md "Streaming-shaped workloads"):
 tumbling windows = vectorized truncation + pre-aggregated groupby;
-session windows = per-user map_groups over ts-sorted groups. The
+session/as-of/rolling windows = one numpy pass per COARSE user
+partition (Arrow end-to-end; no pandas, no per-user dispatch). The
 reference's streaming semantics (bounded-queue pipeline,
 core/pdf_processor.py:1156-1241) need no analog here beyond ordering —
 Ray's streaming executor supplies backpressure.
@@ -15,7 +16,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -234,31 +234,53 @@ def sessionize(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
         )
         return t.append_column("upart", part)
 
-    def sessionize_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(
-            drop=True
+    def sessionize_partition(g: pa.Table) -> pa.Table:
+        # one numpy pass for ALL users of the partition (the asof/
+        # rolling pattern): lexsort by (user, ts, event_id), session
+        # boundaries = user change OR gap > threshold, segment sums via
+        # add.reduceat — no pandas, no per-user dispatch.
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+            }
         )
-        gap = g["ts"].diff().dt.total_seconds().fillna(0.0)
-        user_changed = g["user_id"].ne(g["user_id"].shift()).fillna(True)
-        new_session = (user_changed | (gap > SESSION_GAP_MINUTES * 60)).to_numpy()
-        grp = np.cumsum(new_session)  # global session ordinal
-        # re-base per user: session_idx = ordinal − ordinal at user start
-        user_start_grp = pd.Series(np.where(user_changed, grp, 0)).replace(0, np.nan)
-        base = user_start_grp.ffill().to_numpy()
-        g["session_idx"] = (grp - base).astype(np.int64)
-        g["_grp"] = grp
-        out = (
-            g.groupby("_grp", sort=True)
-            .agg(
-                user_id=("user_id", "first"),
-                session_idx=("session_idx", "first"),
-                n_events=("event_id", "count"),
-                sum_value=("value", "sum"),
-                session_start=("ts", "min"),
-            )
-            .reset_index(drop=True)
+        if n == 0:
+            return empty
+        ts = np.asarray(g.column("ts").cast(pa.int64()))  # µs since epoch
+        user = np.asarray(g.column("user_id"), dtype=np.int64)
+        eid = np.asarray(g.column("event_id"), dtype=np.int64)
+        # null value ≡ skipped by sum on both engines → additive zero
+        vals = np.asarray(
+            pc.fill_null(g.column("value").cast(pa.float64()), 0.0), dtype=np.float64
         )
-        return out[["user_id", "session_idx", "n_events", "sum_value", "session_start"]]
+        order = np.lexsort((eid, ts, user))
+        user, ts, vals = user[order], ts[order], vals[order]
+        new_user = np.concatenate([[True], user[1:] != user[:-1]])
+        gap_us = np.concatenate([[0], ts[1:] - ts[:-1]])
+        new_session = new_user | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000)
+        starts = np.flatnonzero(new_session)
+        # session_idx = per-user ordinal of the session (0-based): global
+        # segment ordinal re-based at each user's first segment
+        seg_user = user[starts]
+        seg_new_user = np.concatenate([[True], seg_user[1:] != seg_user[:-1]])
+        seg_ord = np.arange(len(starts), dtype=np.int64)
+        seg_base = seg_ord[seg_new_user][np.cumsum(seg_new_user) - 1]
+        return pa.table(
+            {
+                "user_id": pa.array(seg_user, pa.int64()),
+                "session_idx": pa.array(seg_ord - seg_base, pa.int64()),
+                "n_events": pa.array(
+                    np.diff(np.concatenate([starts, [n]])), pa.int64()
+                ),
+                "sum_value": pa.array(np.add.reduceat(vals, starts), pa.float64()),
+                "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
+            }
+        )
 
     parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-    return parted.groupby("upart").map_groups(sessionize_partition, batch_format="pandas")
+    return parted.groupby("upart").map_groups(sessionize_partition, batch_format="pyarrow")

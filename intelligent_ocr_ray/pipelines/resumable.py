@@ -23,6 +23,7 @@ merge order at read time.
 from __future__ import annotations
 
 import functools
+import logging
 import os
 import shutil
 import time
@@ -35,6 +36,8 @@ from ..config import DEFAULT_CONFIG, ExtractorConfig
 from ..state.manifest import RunManifest, input_fingerprint, list_parquet_files
 from .extract import extract_dataset, read_transcripts
 from .ordering import add_partition_column, sort_within_batch
+
+logger = logging.getLogger(__name__)
 
 # Partition files are zstd-compressed: extracted text compresses ~25%
 # smaller than snappy at comparable encode speed, and the write path is
@@ -237,13 +240,23 @@ def _attempt(
         except queue.Empty:
             # best-effort cancel of the hung execution (the Dataset's
             # own cleanup path: _current_executor.shutdown(force=True))
-            # so abandoned tasks don't outlive the attempt
-            try:
-                ex = summaries._current_executor
-                if ex is not None:
+            # so abandoned tasks don't outlive the attempt. The attr is
+            # private: guard explicitly so a Ray upgrade that moves it
+            # degrades to a LOGGED no-op, not silent zombie tasks
+            # (correctness stays safe either way — attempt-scoped tmp
+            # dirs mean abandoned writers can't corrupt a commit).
+            ex = getattr(summaries, "_current_executor", None)
+            if ex is None:
+                logger.warning(
+                    "watchdog: Dataset._current_executor unavailable on this "
+                    "Ray version; cannot cancel the hung attempt's tasks — "
+                    "they will idle out with the attempt"
+                )
+            else:
+                try:
                     ex.shutdown(force=True)
-            except Exception:  # noqa: BLE001 — cancellation is advisory
-                pass
+                except Exception:  # noqa: BLE001 — cancellation is advisory
+                    logger.warning("watchdog: executor shutdown failed", exc_info=True)
             return False, TimeoutError(
                 f"no partition completed within {partition_timeout_s}s"
             )

@@ -33,10 +33,24 @@ def _md5_hex(vals: list) -> list[str]:
     return [hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in vals]
 
 
+def _check_value_type(t: pa.DataType) -> None:
+    """Python str(v) mirrors DuckDB's CAST(v AS VARCHAR) ONLY for
+    integers and strings — bools ('True' vs 'true') and floats
+    ('1e+20' vs '100000000000000000000') silently break estimator
+    parity, so reject them up front (ADVICE r2)."""
+    if not (pa.types.is_integer(t) or pa.types.is_string(t) or pa.types.is_large_string(t)):
+        raise TypeError(
+            f"kmv_distinct value column must be integer or string (got {t}): "
+            "str(v) must equal DuckDB's CAST(v AS VARCHAR) for oracle "
+            "parity — cast the column to one canonical form first"
+        )
+
+
 def _kmv_partial(batch: pa.Table, group_col: str, value_col: str, k: int) -> pa.Table:
     """Per-batch combiner: distinct (group, value) → md5 hex → k
     smallest per group. Output ≤ k rows per group per batch."""
     sel = batch.select([group_col, value_col])
+    _check_value_type(sel.column(value_col).type)
     # null values are excluded on BOTH sides (md5(NULL) is NULL in the
     # oracle; str(None) would hash the literal 'None' here)
     sel = sel.filter(pc.is_valid(sel.column(value_col)))

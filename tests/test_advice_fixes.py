@@ -139,3 +139,23 @@ def test_key_lookup_inner_join_semantics():
     keep, mapped = _lookup_take(fact, table, lo, valid)
     assert list(keep) == [0, 2, 5]
     assert list(mapped) == ["b", "d", "e"]
+
+
+def test_kmv_rejects_unmirrorable_value_types():
+    """str(v) != CAST(v AS VARCHAR) for bools/floats — kmv_distinct
+    refuses them instead of silently breaking estimator parity."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from intelligent_ocr_ray.stages.sketches import kmv_distinct
+
+    bad = rd.from_arrow(
+        pa.table({"g": ["a", "a"], "v": pa.array([1.5, 2.5], pa.float64())})
+    )
+    with pytest.raises(Exception, match="integer or string"):
+        kmv_distinct(bad, "g", "v").take_all()
+
+    ok = rd.from_arrow(pa.table({"g": ["a", "a", "b"], "v": pa.array([1, 2, 1], pa.int64())}))
+    rows = {r["g"]: r["n_distinct_est"] for r in kmv_distinct(ok, "g", "v").take_all()}
+    assert rows == {"a": 2, "b": 1}

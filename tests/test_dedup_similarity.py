@@ -365,3 +365,24 @@ def test_exhaustive_bucket_configs_equal_exact():
         .to_pandas().sort_values(kq).reset_index(drop=True)
     )
     assert topk.equals(ivf)
+
+
+def test_exact_dedup_null_vs_empty_text():
+    """NULL text and '' are DISTINCT groups: null keys to the 'null'
+    sentinel (no 32-hex digest can collide), '' to md5('') — mirroring
+    the oracle's CASE WHEN text IS NULL form (ADVICE r2). Also pins the
+    buffer-offset hashing path on sliced/chunked input."""
+    from intelligent_ocr_ray.stages.dedup import NULL_CONTENT_KEY, exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 4, 2, 8], pa.int64()),
+            "text": pa.array(["", None, "", None, "x"]),
+        }
+    )
+    got = {r["content_hash"]: r["doc_id"] for r in exact_dedup(rd.from_arrow(t)).take_all()}
+    import hashlib
+
+    assert got[NULL_CONTENT_KEY] == 1  # min id among the null rows
+    assert got[hashlib.md5(b"").hexdigest()] == 3  # min id among '' rows
+    assert len(got) == 3
