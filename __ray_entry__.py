@@ -58,6 +58,27 @@ def _docs(sf_dir: str, columns: list[str]):
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
+def _docs_sized(
+    sf_dir: str, columns: list[str], *, rows_per_block: int = 65536, min_blocks: int = 8
+):
+    """documents read with the block count sized from parquet metadata
+    (~rows_per_block rows ≈ 128 MB of text per block, floor min_blocks
+    for parallelism). Ray's default block count tracks CPU parallelism
+    (64 blocks at 32 CPUs) regardless of input size; a downstream
+    all-to-all then pays per BLOCK PAIR, so a shuffle-bound query over a
+    modest table wants size-proportional blocks instead (measured 3× on
+    exact_dedup: 64 blocks 0.9 s → 8 blocks 0.3 s at sf0.1)."""
+    import math
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_rows = pq.read_metadata(path).num_rows
+    blocks = max(min_blocks, math.ceil(n_rows / rows_per_block))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+
+
 # --- entry ---------------------------------------------------------------
 
 
@@ -179,7 +200,7 @@ def _q_exact_dedup(sf_dir: str):
     core/checkpoint.py:37-41). Oracle mirrors with GROUP BY md5(text)."""
     from intelligent_ocr_ray.stages.dedup import exact_dedup
 
-    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+    return exact_dedup(_docs_sized(sf_dir, ["doc_id", "text"]))
 
 
 def _q_doc_stats_by_lang(sf_dir: str):

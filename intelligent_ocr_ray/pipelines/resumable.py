@@ -46,6 +46,34 @@ logger = logging.getLogger(__name__)
 PARTITION_CODEC = "zstd"
 
 
+def _heartbeat_sink_cls():
+    """Attempt-scoped PROGRESS sink (lazy ray.remote wrapper so module
+    import never touches Ray): map batches and partition tasks ping as
+    units of work COMPLETE, so the driver's watchdog measures
+    time-since-last-signal instead of sizing partition_timeout_s to the
+    whole phase (round-2 verdict: the old inactivity clock only started
+    once the upstream shuffle cleared). A slow-but-progressing phase
+    keeps pinging and is never killed; a genuinely hung task stops
+    pinging and trips the budget. Wall-clock (time.time) is used on
+    both sides — coarse timeouts tolerate normal cluster clock skew."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class _HeartbeatSink:
+        def __init__(self):
+            self._last = time.time()
+            self._n = 0
+
+        def ping(self, n: int = 1) -> None:
+            self._last = time.time()
+            self._n += n
+
+        def snapshot(self) -> tuple[float, int]:
+            return self._last, self._n
+
+    return _HeartbeatSink
+
+
 def _filter_pending(pending: set[int]):
     def f(t: pa.Table) -> pa.Table:
         mask = pc.is_in(t.column("part"), value_set=pa.array(sorted(pending), pa.int32()))
@@ -76,7 +104,7 @@ def _profile_counters(body: pa.Table) -> str:
 
 def _extract_write_partition(
     group: pa.Table, out_dir: str, config: ExtractorConfig, use_ladder: bool,
-    tmp_tag: str = "",
+    tmp_tag: str = "", hb=None,
 ) -> pa.Table:
     """FUSED partition task: sort the narrow input partition, run the
     (process-cached) extractor, write — one task does everything for its
@@ -90,8 +118,12 @@ def _extract_write_partition(
 
     t0 = time.perf_counter()
     part = int(group.column("part")[0].as_py())
+    if hb is not None:  # progress signal: this partition left the shuffle
+        hb.ping.remote()
     narrow = sort_within_batch(group.drop_columns(["part"]))
     body = extract_batch(narrow, config, use_ladder=use_ladder)
+    if hb is not None:  # progress signal: extract done, write starting
+        hb.ping.remote()
     # attempt-scoped tmp dir: a zombie task abandoned by the watchdog
     # keeps writing its OWN attempt's prefix and can never race a later
     # attempt's files (the stale dirs are swept on the next resume)
@@ -110,13 +142,15 @@ def _extract_write_partition(
     )
 
 
-def _write_partition(group: pa.Table, out_dir: str, tmp_tag: str = "") -> pa.Table:
+def _write_partition(group: pa.Table, out_dir: str, tmp_tag: str = "", hb=None) -> pa.Table:
     """map_groups fn: sort the partition, write it to a _tmp dir, return
     a one-row summary (the driver does the atomic commit). Workers write
     directly to out_dir — on a real cluster that directory must be
     shared storage (object store/NFS), same as any distributed sink."""
     t0 = time.perf_counter()
     part = int(group.column("part")[0].as_py())
+    if hb is not None:  # progress signal: this partition left the shuffle
+        hb.ping.remote()
     body = sort_within_batch(group.drop_columns(["part"]))
     tmp = os.path.join(out_dir, f"_tmp{tmp_tag}-part={part:04d}")
     shutil.rmtree(tmp, ignore_errors=True)
@@ -163,6 +197,13 @@ def _attempt(
     import threading
 
     pending = set(manifest.pending())
+    # progress heartbeat (only when a watchdog budget is set — zero
+    # overhead otherwise): map batches ping as they COMPLETE, partition
+    # tasks ping at start and mid-task, commits reset the clock too
+    hb = None
+    if partition_timeout_s is not None:
+        hb = _heartbeat_sink_cls().remote()
+
     ds = read_transcripts(input_path, read_num_blocks)
     ds = ds.map_batches(
         add_partition_column,
@@ -170,6 +211,16 @@ def _attempt(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if hb is not None:
+        hb_ref = hb  # close over the handle, not the dataset
+
+        def _ping_batch(t: pa.Table) -> pa.Table:
+            # fires AFTER the upstream fused work for this batch ran —
+            # a completed unit of map progress (fire-and-forget)
+            hb_ref.ping.remote()
+            return t
+
+        ds = ds.map_batches(_ping_batch, batch_format="pyarrow", zero_copy_batch=True)
     if len(pending) < num_parts:
         # resume anti-join: done partitions never leave the read stage
         ds = ds.map_batches(
@@ -187,6 +238,7 @@ def _attempt(
                 config=config,
                 use_ladder=use_ladder,
                 tmp_tag=tmp_tag,
+                hb=hb,
             ),
             batch_format="pyarrow",
         )
@@ -211,16 +263,18 @@ def _attempt(
             zero_copy_batch=True,
         )
         summaries = extracted.groupby("part").map_groups(
-            functools.partial(_write_partition, out_dir=out_dir, tmp_tag=tmp_tag),
+            functools.partial(_write_partition, out_dir=out_dir, tmp_tag=tmp_tag, hb=hb),
             batch_format="pyarrow",
         )
 
-    # Streaming consumption with an inactivity watchdog (R4 analog of
-    # the reference's 1800 s per-task daemon-thread timeout,
+    # Streaming consumption with a PROGRESS watchdog (R4 analog of the
+    # reference's 1800 s per-task daemon-thread timeout,
     # core/task_manager.py:288,313-332): the iterator runs in a helper
-    # thread; if no partition summary lands within partition_timeout_s
-    # the attempt is declared hung and abandoned (Ray's own task retries
-    # cover transient faults below this layer).
+    # thread; the attempt is declared hung only when partition_timeout_s
+    # elapses with NO signal at all — no committed partition, no map
+    # batch completed, no partition task started (the heartbeat sink) —
+    # so the budget bounds per-unit work, not the whole phase: a long
+    # healthy shuffle keeps pinging and never false-triggers.
     q: queue.Queue = queue.Queue()
 
     def consume():
@@ -234,10 +288,23 @@ def _attempt(
     t = threading.Thread(target=consume, daemon=True)
     t.start()
     seen: set[int] = set()
+    last_signal = time.time()
+    poll_s = None if partition_timeout_s is None else min(2.0, partition_timeout_s / 4)
     while True:
         try:
-            kind, payload = q.get(timeout=partition_timeout_s)
+            kind, payload = q.get(timeout=poll_s)
         except queue.Empty:
+            now = time.time()
+            if hb is not None:
+                try:
+                    import ray
+
+                    hb_last, _ = ray.get(hb.snapshot.remote(), timeout=5)
+                    last_signal = max(last_signal, hb_last)
+                except Exception:  # noqa: BLE001 — a dead sink means no signals
+                    logger.warning("watchdog: heartbeat sink unreachable", exc_info=True)
+            if now - last_signal <= partition_timeout_s:
+                continue  # progress within budget — keep waiting
             # best-effort cancel of the hung execution (the Dataset's
             # own cleanup path: _current_executor.shutdown(force=True))
             # so abandoned tasks don't outlive the attempt. The attr is
@@ -258,8 +325,9 @@ def _attempt(
                 except Exception:  # noqa: BLE001 — cancellation is advisory
                     logger.warning("watchdog: executor shutdown failed", exc_info=True)
             return False, TimeoutError(
-                f"no partition completed within {partition_timeout_s}s"
+                f"no progress signal within {partition_timeout_s}s"
             )
+        last_signal = time.time()
         if kind == "err":
             return False, payload
         if kind == "done":
@@ -333,13 +401,14 @@ def run_resumable(
     merge chunks (read_output(...).sort(...)), the documented partial-
     order trade every salted layout makes.
 
-    ``partition_timeout_s`` (R4): inactivity watchdog — if no partition
-    commits within the budget the attempt is declared hung and abandoned
-    (core/task_manager.py:288,313-332 analog). NOTE the FIRST commit
-    only lands after the whole upstream read/shuffle (and, unfused, the
-    extract map) clears the groupby barrier — size the budget to cover
-    that full phase, not the steady-state commit cadence (the
-    reference's 1800 s per-task budget is the right order). ``degraded_rerun`` (task-
+    ``partition_timeout_s`` (R4): PROGRESS watchdog — the attempt is
+    declared hung and abandoned only after the budget elapses with no
+    signal at all: no partition commit, no completed map batch, and no
+    partition task started (a 0-CPU heartbeat actor collects worker
+    pings; core/task_manager.py:288,313-332 analog). Size the budget to
+    the longest single UNIT of work (one batch / one partition task),
+    not the whole phase — a long healthy shuffle keeps signalling and
+    never false-triggers. ``degraded_rerun`` (task-
     level R3, desktop/workers.py:357-389 analog): after a failed or hung
     attempt, the STILL-PENDING partitions are rerun under each
     progressively-degraded ladder profile (functions.extract.

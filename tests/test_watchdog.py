@@ -189,3 +189,34 @@ def test_progress_callback_reports_eta(tmp_path):
     last = events[-1]
     assert last["total"] == 4 and last["rows"] > 0
     assert last["elapsed_s"] > 0 and "eta_s" in last
+
+
+def _slow_but_alive_extract(ds, cfg, *, batch_size=4096, concurrency=None):
+    """Every batch takes ~1.5 s — the WHOLE phase far exceeds the 4 s
+    budget, but each unit of work completes well inside it (the
+    slow-first-shuffle shape the round-2 verdict asked about)."""
+
+    def crawl(t: pa.Table) -> pa.Table:
+        time.sleep(1.5)
+        return t
+
+    ds = ds.map_batches(crawl, batch_format="pyarrow", zero_copy_batch=True)
+    return extract_dataset(ds, cfg, batch_size=batch_size, concurrency=concurrency)
+
+
+def test_watchdog_heartbeat_tolerates_slow_healthy_phase(tmp_path):
+    """Per-unit progress budget: a phase that takes >> partition_timeout_s
+    in total but keeps completing batches must NOT be declared hung —
+    the heartbeat pings reset the clock (round-2 verdict item #7)."""
+    src = _write_input(tmp_path, with_marker=False)
+    out = str(tmp_path / "out")
+    man = run_resumable(
+        src, out, CFG, num_parts=8, concurrency=2,
+        extract_fn=_slow_but_alive_extract,
+        partition_timeout_s=4.0,
+    )
+    assert man.is_complete()
+    ok, _, _ = audit_completeness(src, man)
+    assert ok
+    # nothing degraded: the healthy strict pass finished every partition
+    assert all("profile" not in v for v in man.done.values())
