@@ -271,6 +271,19 @@ class ExtractTurns:
         parse_idx = np.flatnonzero((route == _R_HTML) | (route == _R_PDFISH))
         if len(parse_idx):
             sub_py = text.take(pa.array(parse_idx)).to_pylist()
+            # within-batch payload dedup: extraction is a pure function
+            # of the payload, so identical payloads (boilerplate turns —
+            # ~20% of parse rows in the synthetic corpus, often far more
+            # in real web/transcript data) parse ONCE and fan out via an
+            # Arrow take. Exactly byte-equal to parsing every row.
+            uniq_index: dict[str, int] = {}
+            inv_parse = np.empty(len(sub_py), np.int64)
+            payloads: list[str] = []
+            for i, p in enumerate(sub_py):
+                j = uniq_index.setdefault(p, len(payloads))
+                if j == len(payloads):
+                    payloads.append(p)
+                inv_parse[i] = j
             if self.ladder:
                 from ..functions.extract import extract_turn_ladder
 
@@ -287,20 +300,21 @@ class ExtractTurns:
             p_spans: list[list[dict]] = []
             p_status: list[str] = []
             p_err: list[str | None] = []
-            for payload in sub_py:
+            for payload in payloads:
                 ext, _ = _do(payload)
                 p_route.append(ext.route)  # 'error' when the payload poisoned
                 p_ext.append(ext.extracted_text)
                 p_spans.append([s.to_dict() for s in ext.spans])
                 p_status.append(ext.status)
                 p_err.append(ext.error)
+            fan = pa.array(inv_parse)
             emit(
                 parse_idx,
-                pa.array(p_route, pa.string()),
-                pa.array(p_ext, pa.string()),
-                pa.array(p_spans, pa.list_(SPAN_TYPE)),
-                pa.array(p_status, pa.string()),
-                pa.array(p_err, pa.string()),
+                pa.array(p_route, pa.string()).take(fan),
+                pa.array(p_ext, pa.string()).take(fan),
+                pa.array(p_spans, pa.list_(SPAN_TYPE)).take(fan),
+                pa.array(p_status, pa.string()).take(fan),
+                pa.array(p_err, pa.string()).take(fan),
             )
 
         # --- assemble: one permutation take restores input order
