@@ -124,6 +124,85 @@ def cmd_export(args) -> int:
         ray.shutdown()
 
 
+def cmd_submit(args) -> int:
+    """Enqueue a run without executing it (the upload endpoint analog,
+    web/api/routes.py:27-108): validate input, admission-cap the queue,
+    drop an atomic job spec, print the job id for `watch`."""
+    from .state.jobqueue import QueueFullError, submit_job
+    from .state.manifest import validate_transcripts
+
+    ok, msg = validate_transcripts(args.input)
+    if not ok:
+        print(json.dumps({"ok": False, "detail": f"invalid input: {msg}"}))
+        return 2
+    spec = {"input": args.input, "out": args.out, "num_parts": args.num_parts}
+    try:
+        job_id = submit_job(args.queue, spec, queue_cap=args.queue_cap)
+    except QueueFullError as e:
+        print(json.dumps({"ok": False, "detail": str(e)}))
+        return 3
+    print(json.dumps({"ok": True, "job_id": job_id, "state": "queued"}))
+    return 0
+
+
+def cmd_drain(args) -> int:
+    """Worker loop: claim queued jobs (atomic rename = the mutex; any
+    number of drain workers may share one queue dir) and run each to
+    completion — the background-processing half of the reference's web
+    surface (web/api/tasks.py:285-353), with `ray job submit`-style
+    execution instead of an in-process thread pool."""
+    from .config import DEFAULT_CONFIG
+    from .pipelines.resumable import audit_completeness, run_resumable
+    from .state.jobqueue import claim_next_job, finish_job
+
+    ray = _ray_init(args.num_cpus)
+    n_run = 0
+    try:
+        while args.max_jobs is None or n_run < args.max_jobs:
+            claimed = claim_next_job(args.queue)
+            if claimed is None:
+                break
+            job_id, spec = claimed
+            try:
+                manifest = run_resumable(
+                    spec["input"], spec["out"], DEFAULT_CONFIG,
+                    num_parts=int(spec.get("num_parts", 32)),
+                )
+                complete, n_in, n_out = audit_completeness(spec["input"], manifest)
+                finish_job(
+                    args.queue, job_id, complete,
+                    {"complete": complete, "rows_in": n_in, "rows_out": n_out},
+                )
+            except Exception as e:  # noqa: BLE001 — job failure is a queue state
+                finish_job(args.queue, job_id, False, {"error": repr(e)[:500]})
+            n_run += 1
+            print(json.dumps({"event": "job_finished", "job_id": job_id}), flush=True)
+    finally:
+        ray.shutdown()
+    print(json.dumps({"jobs_run": n_run}))
+    return 0
+
+
+def cmd_watch(args) -> int:
+    """Poll a submitted job until it leaves the queue (the status
+    endpoint analog, web/api/routes.py:111-140). Manifest-only — no Ray
+    session."""
+    import time as _time
+
+    from .state.jobqueue import job_status
+
+    deadline = _time.time() + args.timeout
+    while True:
+        st = job_status(args.queue, args.job)
+        print(json.dumps(st), flush=True)
+        if st["state"] in ("done", "failed", "unknown"):
+            return {"done": 0, "failed": 1, "unknown": 2}[st["state"]]
+        if _time.time() >= deadline:
+            print(json.dumps({"ok": False, "detail": "watch timeout"}))
+            return 4
+        _time.sleep(args.interval)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="intelligent_ocr_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -135,10 +214,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--num-parts", type=int, default=32)
     r.add_argument("--progress", action="store_true", help="print per-partition progress/ETA lines")
     r.add_argument("--partition-timeout", type=float, default=None,
-                   help="inactivity watchdog: seconds without a partition commit before the "
-                        "attempt is abandoned. The FIRST commit only lands after the whole "
-                        "read/shuffle phase clears, so budget for that full phase (the "
-                        "reference uses 1800 s)")
+                   help="progress watchdog: seconds without ANY progress signal (a "
+                        "partition commit, a completed map batch, or a partition task "
+                        "starting) before the attempt is abandoned — size it to the "
+                        "longest single unit of work, not the whole phase")
     r.add_argument("--degraded-rerun", action="store_true",
                    help="rerun failed/hung partitions under the degraded profile ladder")
     r.set_defaults(fn=cmd_run)
@@ -156,6 +235,27 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
     e.add_argument("--format", choices=["txt", "md"], default="txt")
     e.set_defaults(fn=cmd_export)
+
+    sb = sub.add_parser("submit", help="enqueue a run into a queue directory")
+    sb.add_argument("--queue", required=True)
+    sb.add_argument("--input", required=True)
+    sb.add_argument("--out", required=True)
+    sb.add_argument("--num-parts", type=int, default=32)
+    sb.add_argument("--queue-cap", type=int, default=10,
+                    help="admission cap: reject submits past this many queued jobs")
+    sb.set_defaults(fn=cmd_submit)
+
+    d = sub.add_parser("drain", help="claim and run queued jobs (worker loop)")
+    d.add_argument("--queue", required=True)
+    d.add_argument("--max-jobs", type=int, default=None)
+    d.set_defaults(fn=cmd_drain)
+
+    w = sub.add_parser("watch", help="poll a submitted job until done/failed")
+    w.add_argument("--queue", required=True)
+    w.add_argument("--job", required=True)
+    w.add_argument("--interval", type=float, default=2.0)
+    w.add_argument("--timeout", type=float, default=3600.0)
+    w.set_defaults(fn=cmd_watch)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -76,6 +76,8 @@ def validate_transcripts(input_path: str) -> tuple[bool, str]:
     import pyarrow.parquet as pq
 
     required = {"conv_id", "turn_idx", "role", "text"}
+    if not os.path.exists(input_path):
+        return False, f"input path does not exist: {input_path}"
     files = list_parquet_files(input_path)
     if not files:
         return False, "no parquet files"

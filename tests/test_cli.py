@@ -6,6 +6,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 import pyarrow.parquet as pq
 
 from intelligent_ocr_ray.sources.transcripts import generate_transcripts
@@ -48,3 +50,73 @@ def test_cli_run_progress_and_status(tmp_path):
     st = json.loads(buf.getvalue())
     assert st["done"] == 4 and st["pending"] == [] and st["progress"] == 1.0
     assert st["rows"] > 0 and st["degraded_partitions"] == []
+
+
+def test_submit_drain_watch_roundtrip(tmp_path):
+    """S11 enqueue surface: submit (atomic spec + admission cap) →
+    drain worker (claim by rename, run, finish) → watch (poll to done).
+    Mirrors upload → background processing → status of the reference's
+    web surface (web/api/routes.py:27-140) over a queue directory."""
+    from intelligent_ocr_ray.__main__ import main as cli_main
+    from intelligent_ocr_ray.state.jobqueue import (
+        QueueFullError,
+        claim_next_job,
+        job_status,
+        list_jobs,
+        submit_job,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    pq.write_table(generate_transcripts(10, seed=6), os.path.join(src, "d.parquet"))
+    q = str(tmp_path / "queue")
+    out = str(tmp_path / "out")
+
+    import io
+    from contextlib import redirect_stdout
+
+    def run_cli(argv):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = cli_main(argv)
+        lines = [json.loads(l) for l in buf.getvalue().splitlines() if l.startswith("{")]
+        return rc, lines
+
+    # submit validates input
+    rc, lines = run_cli(["submit", "--queue", q, "--input", str(tmp_path / "nope"),
+                         "--out", out])
+    assert rc == 2 and lines[-1]["ok"] is False
+
+    rc, lines = run_cli(["submit", "--queue", q, "--input", src, "--out", out,
+                         "--num-parts", "4"])
+    assert rc == 0
+    job_id = lines[-1]["job_id"]
+    assert job_status(q, job_id)["state"] == "queued"
+
+    # admission cap (reference caps queued uploads at 10)
+    with pytest.raises(QueueFullError):
+        for _ in range(12):
+            submit_job(q, {"input": src, "out": out}, queue_cap=3)
+    assert len(list_jobs(q, "queued")) == 3
+
+    # drain in a subprocess (the worker owns its own Ray session);
+    # cap at 1 job so the duplicate fillers stay queued
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-m", "intelligent_ocr_ray", "--num-cpus", "2",
+         "drain", "--queue", q, "--max-jobs", "1"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert json.loads(proc.stdout.strip().splitlines()[-1])["jobs_run"] == 1
+
+    # watch: job is done, first poll returns
+    rc, lines = run_cli(["watch", "--queue", q, "--job", job_id, "--timeout", "5"])
+    assert rc == 0
+    st = lines[-1]
+    assert st["state"] == "done" and st["complete"] is True and st["progress"] == 1.0
+
+    # claim order is FIFO over the remaining fillers
+    first_filler = list_jobs(q, "queued")[0]
+    jid, _ = claim_next_job(q)
+    assert jid == first_filler
