@@ -489,6 +489,26 @@ def _q_doc_chunks(sf_dir: str):
     )
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: every corpus doc annotated with its
+    count of distinct word 5-grams (md5-hashed) shared with the
+    held-out benchmark split (doc_id % 100 == 0); filter n_overlap >= 1
+    for the flagged set. Broadcast small side, shuffle-free corpus map;
+    oracle joins the identical md5 gram hashes in SQL."""
+    from intelligent_ocr_ray.stages.corpus import decontaminate
+
+    return decontaminate(_docs(sf_dir, ["doc_id", "text"]), annotate=True)
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k: 5 longest docs per language (n_chars desc, doc_id
+    tie-break) with 1-based rank — partial top-k per block, single tiny
+    merge, no sort shuffle."""
+    from intelligent_ocr_ray.stages.corpus import top_docs_per_group
+
+    return top_docs_per_group(_docs(sf_dir, ["doc_id", "lang", "n_chars"]), k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_transcripts": _q_extract_transcripts,
@@ -529,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "vocab_topk": _q_vocab_topk,
         "doc_chunks": _q_doc_chunks,
+        "decontaminate": _q_decontaminate,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "conv_stats": _q_conv_stats,
         "status_profile": _q_status_profile,
         "conv_passthrough": _q_conv_passthrough,
@@ -1082,6 +1104,32 @@ def oracle_sql() -> dict[str, str]:
         # round-half-even micros (np.round ≡ round_even) because raw
         # doubles differ in the last bits between numpy matmul and
         # DuckDB's sequential summation.
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id, regexp_extract_all(text, {_TOKEN_RE_SQL}) AS w
+                          FROM documents),
+            gidx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+                     FROM toks),
+            grams AS (SELECT DISTINCT doc_id,
+                             md5_number_lower(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                              || ' ' || w[i+3] || ' ' || w[i+4]) AS g
+                      FROM gidx),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0),
+            hits AS (SELECT c.doc_id, count(*) AS n_overlap
+                     FROM grams c JOIN bench USING (g)
+                     WHERE c.doc_id % 100 <> 0
+                     GROUP BY c.doc_id)
+            SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 100 <> 0
+        """,
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars, rank FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rank
+              FROM documents)
+            WHERE rank <= 5
+        """,
         "fingerprint": _FINGERPRINT_SQL,
         "minhash_dups": _minhash_sql(),
         "simhash_dups": _simhash_sql(),

@@ -197,3 +197,146 @@ def chunk_tokens_batch(
             "chunk_text": chunk_text,
         }
     )
+
+
+# --- benchmark decontamination --------------------------------------------
+
+# Deterministic benchmark split: every BENCH_EVERY-th doc id plays the
+# held-out evaluation set (SQL-expressible so the oracle reproduces it).
+BENCH_EVERY = 100
+DECON_NGRAM = 5
+
+
+def _gram_hashes64(text: str, n: int) -> "np.ndarray":
+    """Distinct word-n-gram md5 hashes (full 64-bit, uint64) — the
+    md5_number_lower form the DuckDB oracle joins on."""
+    from .dedup import _md5_low64, word_ngrams
+
+    grams = word_ngrams(text, n)
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = _md5_low64(g.encode("utf-8"))
+    return out
+
+
+def benchmark_gram_hashes(ds, *, n: int = DECON_NGRAM) -> "np.ndarray":
+    """Sorted distinct gram hashes of the benchmark docs, computed
+    inside Ray (per-batch distinct unions → one small driver merge).
+    The benchmark side is the SMALL side by construction (1/BENCH_EVERY
+    of the corpus); only its gram hashes — ints, not text — ever reach
+    the driver."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = np.asarray(t.column("doc_id"), dtype=np.int64) % BENCH_EVERY == 0
+        texts = t.column("text").filter(pa.array(keep)).to_pylist()
+        hs = (
+            np.unique(np.concatenate([_gram_hashes64(x or "", n) for x in texts]))
+            if texts
+            else np.array([], dtype=np.uint64)
+        )
+        return pa.table({"g": pa.array(hs.astype(np.int64), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = parts.to_pandas()["g"].to_numpy().astype(np.uint64)
+    return np.unique(merged)
+
+
+def decontaminate(
+    ds, *, n: int = DECON_NGRAM, min_overlap: int = 1, annotate: bool = False
+):
+    """Benchmark decontamination — the training-corpus hygiene operator:
+    flag corpus documents sharing >= min_overlap distinct word-n-grams
+    with any benchmark document. Returns (doc_id, n_overlap) for
+    flagged docs; with ``annotate=True`` every corpus doc is emitted
+    with its overlap count (0 included) — the schema-stable form the
+    driver oracle uses (a clean corpus then still produces rows).
+
+    Scale shape: the benchmark gram-hash set (the small side) is
+    broadcast once via ray.put; the corpus side is a pure per-batch
+    map — per-doc distinct gram hashes membership-tested against the
+    sorted broadcast array (np.isin) — NO shuffle at all. The oracle
+    replays the same md5 gram hashing and join in SQL."""
+    import ray
+
+    bench = benchmark_gram_hashes(ds, n=n)
+    bench_ref = ray.put(bench)
+
+    class FlagOverlap:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+            corpus_rows = np.flatnonzero(ids % BENCH_EVERY != 0)
+            out_id: list[int] = []
+            out_n: list[int] = []
+            texts = t.column("text").take(pa.array(corpus_rows)).to_pylist()
+            for i, text in zip(corpus_rows, texts):
+                hs = _gram_hashes64(text or "", n)
+                hits = int(np.isin(hs, self.bench, assume_unique=True).sum())
+                if annotate or hits >= min_overlap:
+                    out_id.append(int(ids[i]))
+                    out_n.append(hits)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "n_overlap": pa.array(out_n, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        FlagOverlap, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=2, num_cpus=0.5,
+    )
+
+
+# --- grouped top-k --------------------------------------------------------
+
+
+def top_docs_per_group(
+    ds,
+    k: int = 5,
+    *,
+    group_col: str = "lang",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+):
+    """Top-k rows per group by (order_col desc, id asc) — the grouped
+    top-k pattern (longest docs per language). Per-batch partial top-k
+    per group (vectorized run detection over one sort) keeps <= k rows
+    per (batch, group); a single-block merge finishes and attaches the
+    1-based rank. No groupby shuffle: candidate volume is k x groups x
+    blocks, moved once."""
+
+    def topk_runs(t: pa.Table, with_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return (
+                t.append_column("rank", pa.array([], pa.int64())) if with_rank else t
+            )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                (group_col, "ascending"),
+                (order_col, "descending"),
+                (id_col, "ascending"),
+            ],
+        )
+        t = t.take(order)
+        g = t.column(group_col).to_pylist()
+        garr = np.array(g, dtype=object)
+        new = np.concatenate([[True], garr[1:] != garr[:-1]])
+        pos = np.arange(len(garr)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(garr)), 0)
+        )
+        keep = pos < k
+        t = t.filter(pa.array(keep))
+        if with_rank:
+            t = t.append_column("rank", pa.array(pos[keep] + 1, pa.int64()))
+        return t
+
+    partials = ds.map_batches(
+        lambda t: topk_runs(t, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.repartition(1).map_batches(
+        lambda t: topk_runs(t, True), batch_format="pyarrow", zero_copy_batch=True
+    )

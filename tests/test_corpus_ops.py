@@ -17,6 +17,8 @@ from intelligent_ocr_ray.stages.corpus import (
     vocab_topk,
 )
 
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
 PII_TEXTS = [
     "reach me at alice.smith+test@example-site.co.uk thanks",
     "call +1 (555) 123-4567 or 555 867 5309 now",
@@ -134,3 +136,64 @@ def test_chunking_partitions_tokens_exactly(docs_tokens, chunk_size):
         for j, r in enumerate(rows):
             want = chunk_size if j < len(rows) - 1 else len(toks) - chunk_size * j
             assert r["n_chunk_tokens"] == want
+
+
+def test_decontaminate_matches_brute_force():
+    """Flagged set == serial brute-force gram-set intersection against
+    the benchmark split (doc_id % 100 == 0), including overlap counts."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from intelligent_ocr_ray.stages.corpus import (
+        BENCH_EVERY,
+        DECON_NGRAM,
+        _gram_hashes64,
+        decontaminate,
+    )
+
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    gsets = {i: set(_gram_hashes64(x or "", DECON_NGRAM).tolist()) for i, x in zip(ids, texts)}
+    bench: set = set()
+    for i in ids:
+        if i % BENCH_EVERY == 0:
+            bench |= gsets[i]
+    want = {
+        i: len(gsets[i] & bench)
+        for i in ids
+        if i % BENCH_EVERY != 0 and len(gsets[i] & bench) >= 1
+    }
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in decontaminate(rd.read_parquet(DOCS, columns=["doc_id", "text"])).take_all()
+    }
+    assert got == want
+    assert len(got) > 0  # the fixture's dup structure guarantees overlap
+
+
+def test_top_docs_per_group_matches_window_oracle():
+    """Partial-top-k + single merge == the window-function answer, with
+    deterministic tie-breaks and correct ranks, under tiny blocks."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from intelligent_ocr_ray.stages.corpus import top_docs_per_group
+
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "lang", "n_chars"], override_num_blocks=16)
+    got = (
+        top_docs_per_group(ds, k=3)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT doc_id, lang, n_chars, rank FROM (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+          FROM read_parquet('{DOCS}'))
+        WHERE rank <= 3 ORDER BY lang, rank
+        """
+    ).df()
+    assert got.astype(str).equals(want[got.columns].astype(str))
