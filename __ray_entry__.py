@@ -489,6 +489,17 @@ def _q_doc_chunks(sf_dir: str):
     )
 
 
+def _q_events_quantiles(sf_dir: str):
+    """Exact per-event-type value percentiles (p50/p90/p99 in cents)
+    via histogram partials + per-group CDF walk — no full-column sort;
+    index rule pinned to DuckDB quantile_disc."""
+    from intelligent_ocr_ray.pipelines.events import read_events
+    from intelligent_ocr_ray.stages.sketches import group_quantiles
+
+    ds = read_events(sf_dir, columns=["event_type", "value"])
+    return group_quantiles(ds, "event_type", "value")
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: every corpus doc annotated with its
     count of distinct word 5-grams (md5-hashed) shared with the
@@ -529,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_rolling": _q_events_rolling,
         "distinct_users_kmv": _q_distinct_users_kmv,
+        "events_quantiles": _q_events_quantiles,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "supplier_balance_by_region": _q_supplier_balance_by_region,
@@ -924,6 +936,17 @@ def oracle_sql() -> dict[str, str]:
                                   // greatest(CAST(concat('0x', substring(hx, 1, 16)) AS UBIGINT), 1)
                         END AS BIGINT) AS n_distinct_est
             FROM r WHERE rn = least(nd, 64)
+        """,
+        "events_quantiles": """
+            WITH c AS (SELECT event_type,
+                              CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+                       FROM events WHERE value IS NOT NULL)
+            SELECT event_type,
+                   quantile_disc(cents, 0.5) AS p50_cents,
+                   quantile_disc(cents, 0.9) AS p90_cents,
+                   quantile_disc(cents, 0.99) AS p99_cents,
+                   count(*) AS n_values
+            FROM c GROUP BY event_type
         """,
         "events_asof": """
             WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),

@@ -104,3 +104,68 @@ def kmv_distinct(ds, group_col: str, value_col: str, k: int = DEFAULT_K):
         )
 
     return partials.groupby(group_col).map_groups(merge, batch_format="pyarrow")
+
+
+# --- exact distributed quantiles (histogram CDF walk) ---------------------
+
+
+def group_quantiles(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    *,
+    labels: tuple[str, ...] | None = None,
+):
+    """EXACT per-group quantiles of a money-like column at 100 TB scale:
+    values are integer cents, so per-batch (group, cents)->count
+    histogram partials shrink the shuffle from O(rows) to O(distinct
+    cents per group per batch); each group's final task sorts its
+    histogram and walks the CDF. No full-column sort, no sampling —
+    exactness comes from the bounded value domain, the same trick the
+    vocab/dedup pipelines use (pre-reduce before the one shuffle).
+
+    Quantile index rule pinned to DuckDB's quantile_disc (measured):
+    element at max(0, ceil(q*n) - 1) of the sorted multiset, computed
+    with the same double multiply so the oracle agrees bit-for-bit.
+    Null values are excluded on both sides."""
+    import math
+
+    if labels is None:
+        labels = tuple(f"p{int(round(q * 100)):02d}_cents" for q in qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        keep = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            # Arrow NaN is a VALID float, not a null — exclude it like
+            # null (oracle mirror: WHERE v IS NOT NULL AND NOT isnan(v))
+            keep = pc.and_(keep, pc.invert(pc.is_nan(v).fill_null(True)))
+        t = t.select([group_col, value_col]).filter(keep)
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column(value_col), 100.0), ndigits=0), pa.int64()
+        )
+        h = pa.table({group_col: t.column(group_col), "cents": cents})
+        g = h.group_by([group_col, "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "cents", "n"])
+
+    def finish(group: pa.Table) -> pa.Table:
+        key = group.column(group_col)[0].as_py()
+        # merge partial histograms, then CDF walk
+        m = group.group_by(["cents"]).aggregate([("n", "sum")])
+        cents = np.asarray(m.column("cents"), dtype=np.int64)
+        counts = np.asarray(m.column("n_sum"), dtype=np.int64)
+        order = np.argsort(cents)
+        cents, counts = cents[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        cols: dict = {group_col: pa.array([key], group.column(group_col).type)}
+        for q, lab in zip(qs, labels):
+            idx = max(0, math.ceil(q * n) - 1)  # = DuckDB quantile_disc
+            pos = int(np.searchsorted(cum, idx + 1, side="left"))
+            cols[lab] = pa.array([int(cents[pos])], pa.int64())
+        cols["n_values"] = pa.array([n], pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(group_col).map_groups(finish, batch_format="pyarrow")

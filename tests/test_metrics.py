@@ -304,3 +304,43 @@ def test_events_rolling_fuzz_with_nulls_vs_oracle(tmp_path):
     g = got[cols].sort_values(cols).reset_index(drop=True).astype(str)
     w = want[cols].sort_values(cols).reset_index(drop=True).astype(str)
     assert len(g) > 0 and g.equals(w)
+
+
+def test_group_quantiles_matches_quantile_disc():
+    """Histogram-CDF quantiles == DuckDB quantile_disc on boundary-heavy
+    input: tiny groups, duplicate values, nulls, many tiny blocks."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intelligent_ocr_ray.stages.sketches import group_quantiles
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    groups = rng.choice(["a", "b", "c"], size=n)
+    vals = np.round(rng.gamma(2.0, 10.0, size=n), 2)
+    vals[rng.rand(n) < 0.05] = np.nan  # nulls excluded on both sides
+    t = pa.table({"g": pa.array(list(groups)), "v": pa.array(vals, pa.float64())})
+    # single-row group exercises the idx=0 floor
+    t = pa.concat_tables([t, pa.table({"g": pa.array(["solo"]), "v": pa.array([3.21])})])
+    ds = rd.from_arrow(t).map_batches(lambda b: b, batch_format="pyarrow")
+
+    got = (
+        group_quantiles(ds, "g", "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        WITH c AS (SELECT g, CAST(round_even(v * 100, 0) AS BIGINT) AS cents
+                   FROM t WHERE v IS NOT NULL AND NOT isnan(v))
+        SELECT g, quantile_disc(cents, 0.5) AS p50_cents,
+               quantile_disc(cents, 0.9) AS p90_cents,
+               quantile_disc(cents, 0.99) AS p99_cents,
+               count(*) AS n_values
+        FROM c GROUP BY g ORDER BY g
+        """
+    ).df()
+    assert got[want.columns.tolist()].equals(want.astype(got.dtypes.to_dict()))
