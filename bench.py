@@ -108,17 +108,24 @@ def run_bench() -> dict:
     # a single timing can be 2-4× off on a bad neighbor window
     import shutil
 
-    # Headline: fused partitioned extraction. Fixed layout at every CPU
-    # level (same job, two cluster sizes): 256 hash partitions, 64 read
-    # blocks — the shuffle's cost scales with map×reduce block pairs and
-    # this pairing measured best across 2/8/32 CPUs (BENCH/BASELINE.md).
+    # Headline: fused partitioned extraction. Layout is DATA-proportional
+    # and identical at every CPU level (same job, two cluster sizes):
+    # ~250k-row read blocks / ~62.5k-row partitions, floors 64/256 —
+    # the pairing that measured best across 2/8/32 CPUs at 4-16M turns
+    # (BENCH/BASELINE.md). Scaling blocks with rows (not CPUs) is the
+    # 100-TB rule: a FIXED 64/256 layout at 32M turns made partition
+    # tasks 2× chunkier and the 32-CPU wall superlinear (measured 58 s
+    # fixed → 37 s sized; 16M and below are unchanged by the formula).
+    n_parts = max(256, n_rows // 62_500)
+    n_read_blocks = max(64, n_rows // 250_000)
     headline = float("inf")
     for trial in range(3):  # best-of-3: multi-tenant host noise up to 4×
         out_dir = f"/tmp/ior_bench_out/cpus{NUM_CPUS}_t{trial}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         run_resumable(
-            src, out_dir, num_parts=256, fuse_extract=True, read_num_blocks=64
+            src, out_dir, num_parts=n_parts, fuse_extract=True,
+            read_num_blocks=n_read_blocks,
         )
         headline = min(headline, time.perf_counter() - t0)
     results["flagship_extract"] = round(headline, 3)

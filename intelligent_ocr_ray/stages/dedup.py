@@ -93,25 +93,71 @@ def explode_grams(
     than string keys at sf0.1). Collision risk ~n²/2⁶⁴ — ≈1e-7 at a
     million distinct grams — is far below the estimator noise of any
     downstream use; flip to the string key if bit-exactness vs a
-    string-grouped oracle is ever violated."""
-    ids = batch.column(id_col).to_pylist()
-    texts = batch.column(text_col).to_pylist()
-    out_id: list[int] = []
-    out_hash: list[np.ndarray] = []
-    out_n: list[int] = []
-    for i, t in zip(ids, texts):
-        gs = word_ngrams(t, n)
-        out_id.extend([i] * len(gs))
-        out_hash.append(_gram_hashes(gs))
-        out_n.extend([len(gs)] * len(gs))
-    hashes = (
-        np.concatenate(out_hash) if out_hash else np.array([], dtype=np.uint64)
+    string-grouped oracle is ever violated.
+
+    Fully vectorized: Arrow regex token split → three shifted takes of
+    the flat token array → binary_join_element_wise gram strings →
+    distinct (doc, gram) via the C++ group_by → one deterministic
+    pd.util.hash_array pass over the distinct grams (the vocab
+    partitioner's hashing discipline) — no per-row Python, no per-gram
+    digest calls."""
+    import pandas as _pd
+
+    valid = pc.is_valid(batch.column(text_col))
+    t = batch.filter(valid) if valid.null_count or not pc.all(valid).as_py() else batch
+    ids = np.asarray(t.column(id_col), dtype=np.int64)
+    trimmed = pc.utf8_trim(t.column(text_col), " \t\r\n")
+    nonempty = np.asarray(pc.greater(pc.utf8_length(trimmed).fill_null(0), 0))
+    ids = ids[nonempty]
+    toks = pc.split_pattern_regex(
+        trimmed.filter(pa.array(nonempty)), "[ \t\r\n]+"
     )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    n_tok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    n_gram = np.maximum(n_tok - (n - 1), 0)
+    doc_starts = np.concatenate([[0], np.cumsum(n_tok)])[:-1]
+    # gram j of doc d joins flat[start_d + j .. start_d + j + n - 1]
+    base = np.repeat(doc_starts, n_gram) + (
+        np.arange(int(n_gram.sum())) - np.repeat(np.cumsum(n_gram) - n_gram, n_gram)
+    )
+    empty_out = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "gram": pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+        }
+    )
+    if not len(base):
+        return empty_out
+    parts = [flat.take(pa.array(base + k)) for k in range(n)]
+    # the LAST argument is the separator
+    grams = pc.binary_join_element_wise(*parts, " ")
+    pairs = pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids, n_gram), pa.int64()),
+            "gram_s": grams,
+        }
+    ).group_by(["doc_id", "gram_s"]).aggregate([])  # distinct (doc, gram)
+    did = np.asarray(pairs.column("doc_id"), dtype=np.int64)
+    hashes = _pd.util.hash_array(
+        np.asarray(pairs.column("gram_s"), dtype=object)
+    ).astype(np.int64)
+    # distinct-gram count per doc, aligned to the pair rows
+    order = np.argsort(did, kind="stable")
+    inv = np.empty(len(did), np.int64)
+    inv[order] = np.arange(len(did))
+    sorted_ids = did[order]
+    newdoc = np.concatenate([[True], sorted_ids[1:] != sorted_ids[:-1]])
+    starts = np.flatnonzero(newdoc)
+    counts = np.diff(np.concatenate([starts, [len(sorted_ids)]]))
+    per_row_n = np.repeat(counts, counts)[inv]
     return pa.table(
         {
-            "doc_id": pa.array(out_id, pa.int64()),
-            "gram": pa.array(hashes.astype(np.int64), pa.int64()),
-            "n_grams": pa.array(out_n, pa.int64()),
+            "doc_id": pa.array(did, pa.int64()),
+            "gram": pa.array(hashes, pa.int64()),
+            "n_grams": pa.array(per_row_n, pa.int64()),
         }
     )
 
