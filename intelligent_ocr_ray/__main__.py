@@ -26,13 +26,16 @@ def _ray_init(num_cpus: int | None):
 
 def cmd_run(args) -> int:
     from .config import DEFAULT_CONFIG
-    from .pipelines.resumable import audit_completeness, run_resumable
+    from .pipelines.resumable import audit_completeness, run_resumable, suggest_layout
     from .state.manifest import validate_transcripts
 
     ok, msg = validate_transcripts(args.input)
     if not ok:
         print(f"invalid input: {msg}", file=sys.stderr)
         return 2
+    if args.num_parts is None:
+        # size the layout from the input, not the CPU count
+        args.num_parts, _ = suggest_layout(args.input)
     ray = _ray_init(args.num_cpus)
     progress_cb = None
     if args.progress:
@@ -211,7 +214,9 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("run", help="resumable extraction run (re-run to resume)")
     r.add_argument("--input", required=True)
     r.add_argument("--out", required=True)
-    r.add_argument("--num-parts", type=int, default=32)
+    r.add_argument("--num-parts", type=int, default=None,
+                   help="output partitions; default sizes from the input "
+                        "(~62.5k rows per partition, suggest_layout)")
     r.add_argument("--progress", action="store_true", help="print per-partition progress/ETA lines")
     r.add_argument("--partition-timeout", type=float, default=None,
                    help="progress watchdog: seconds without ANY progress signal (a "

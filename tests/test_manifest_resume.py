@@ -313,3 +313,25 @@ def test_fused_run_salted_and_resumable(tmp_path):
     assert m2.is_complete() and audit_completeness(src, m2)[0]
     for d, old in mtimes.items():
         assert os.path.getmtime(os.path.join(out, d, "data.parquet")) == old, d
+
+
+def test_suggest_layout_scales_with_rows(tmp_path):
+    """Layout sizing is data-proportional with floors: small inputs get
+    the floors; block counts grow ~linearly with row count (the
+    fixed-layout superlinearity lesson, BENCH/BASELINE.md)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from intelligent_ocr_ray.pipelines.resumable import suggest_layout
+    from intelligent_ocr_ray.sources.transcripts import generate_transcripts
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    pq.write_table(generate_transcripts(30, seed=2), os.path.join(src, "d.parquet"))
+    parts, blocks = suggest_layout(src)
+    assert (parts, blocks) == (32, 8)  # floors
+    parts2, blocks2 = suggest_layout(src, rows_per_partition=100, rows_per_read_block=100,
+                                     min_parts=1, min_blocks=1)
+    n = pq.read_metadata(os.path.join(src, "d.parquet")).num_rows
+    assert parts2 == -(-n // 100) and blocks2 == -(-n // 100)
