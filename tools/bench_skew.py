@@ -23,7 +23,7 @@ import shutil
 import sys
 import time
 
-MEGA_ROWS_DEFAULT = 1_600_000
+MEGA_ROWS_DEFAULT = 800_000
 BASE_CONVS = 1_200_000  # the cached 16M-turn bench corpus
 SALT_TURNS = 8_192
 
@@ -47,15 +47,21 @@ def build_fixture(mega_rows: int) -> str:
     for f in sorted(os.listdir(base)):
         if f.endswith(".parquet"):
             os.symlink(os.path.join(base, f), os.path.join(out, f))
-    # the mega conversation: plain-text payloads (the majority route),
-    # deterministic, ~100 chars each
+    # the mega conversation: UNIQUE html payloads so every row pays the
+    # per-payload parser (the adversarial case — identical payloads
+    # would be absorbed by the extractor's within-batch dedup, and
+    # plain-text rows by the vectorized passthrough; neither stresses
+    # the straggler)
     rng = np.random.RandomState(17)
     words = np.array(
         "the quick brown fox jumps over lazy dog alpha beta gamma delta "
         "epsilon zeta eta theta data pipeline turn".split()
     )
-    picks = words[rng.randint(0, len(words), size=(mega_rows, 12))]
-    texts = [" ".join(row) for row in picks]
+    picks = words[rng.randint(0, len(words), size=(mega_rows, 10))]
+    texts = [
+        f"<p>turn {i} {' '.join(row[:5])}</p><div>{' '.join(row[5:])}</div>"
+        for i, row in enumerate(picks)
+    ]
     n = mega_rows
     t = pa.table(
         {
