@@ -359,6 +359,25 @@ def _q_embedding_neardup_lsh(sf_dir: str):
     return embedding_neardup_bucketed(sf_dir, threshold=0.4, n_lists=4, n_assign=4)
 
 
+def _q_embedding_dedup_docs(sf_dir: str):
+    """End-to-end embedding near-dedup: exact cosine-≥-τ pairs →
+    connected components → keep the min-vec_id representative per
+    component. DuckDB-oracled via the exact pair SQL + a RECURSIVE
+    transitive closure (same pattern as minhash_dedup_docs)."""
+    import ray.data as rd
+
+    from intelligent_ocr_ray.stages.dedup import dedup_corpus
+    from intelligent_ocr_ray.stages.similarity import embedding_neardup
+
+    pairs = embedding_neardup(sf_dir, threshold=0.4).map_batches(
+        lambda t: pa.table({"doc_a": t.column("vec_id_a"), "doc_b": t.column("vec_id_b")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    vecs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"])
+    return dedup_corpus(vecs, pairs, id_col="vec_id").select_columns(["vec_id"])
+
+
 def _q_ann_topk(sf_dir: str):
     from intelligent_ocr_ray.stages.similarity import ann_topk
 
@@ -554,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "embedding_dedup_docs": _q_embedding_dedup_docs,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "multimodal_decode": _q_multimodal_decode,
@@ -1161,6 +1181,21 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive-bucket config (n_assign = n_lists) ≡ exact, so the
         # bucketed pipeline is held to the same cell-for-cell oracle
         "embedding_neardup_lsh": _EMB_NEARDUP_SQL,
+        "embedding_dedup_docs": """
+            WITH RECURSIVE
+            epairs AS (
+              SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.4
+            ),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM epairs
+                      UNION SELECT doc_b, doc_a FROM epairs),
+            reach(a, b) AS (SELECT a, b FROM edges
+                            UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            dropped AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) < a)
+            SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT node FROM dropped)
+        """,
         "ann_topk": _ANN_TOPK_SQL,
         # nprobe = n_lists config ≡ exact brute-force top-k
         "ann_ivf": _ANN_TOPK_SQL,
