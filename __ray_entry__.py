@@ -52,13 +52,7 @@ def _cents_cols(ds, cols: list[str]):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _docs(sf_dir: str, columns: list[str]):
-    import ray.data as rd
-
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
-
-
-def _docs_sized(
+def _docs(
     sf_dir: str, columns: list[str], *, rows_per_block: int = 65536, min_blocks: int = 8
 ):
     """documents read with the block count sized from parquet metadata
@@ -66,8 +60,9 @@ def _docs_sized(
     for parallelism). Ray's default block count tracks CPU parallelism
     (64 blocks at 32 CPUs) regardless of input size; a downstream
     all-to-all then pays per BLOCK PAIR, so a shuffle-bound query over a
-    modest table wants size-proportional blocks instead (measured 3× on
-    exact_dedup: 64 blocks 0.9 s → 8 blocks 0.3 s at sf0.1)."""
+    modest table wants size-proportional blocks instead (measured 2-4×
+    across exact_dedup/minhash/jaccard/simhash/vocab at sf0.1: e.g.
+    exact_dedup 0.9 s → 0.3 s, vocab_topk 1.25 s → 0.33 s)."""
     import math
 
     import pyarrow.parquet as pq
@@ -77,6 +72,9 @@ def _docs_sized(
     n_rows = pq.read_metadata(path).num_rows
     blocks = max(min_blocks, math.ceil(n_rows / rows_per_block))
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+
+
+_docs_sized = _docs  # back-compat alias (exact_dedup predates the default)
 
 
 # --- entry ---------------------------------------------------------------

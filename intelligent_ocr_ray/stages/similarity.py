@@ -56,6 +56,30 @@ def _cos_micros(cos: np.ndarray) -> np.ndarray:
     return np.round(cos * 1e6).astype(np.int64)  # half-even, = round_even
 
 
+def read_embeddings(
+    parquet_path: str,
+    columns=(ID_COL, EMB_COL),
+    *,
+    rows_per_block: int = 65536,
+    min_blocks: int = 8,
+):
+    """Metadata-sized embeddings read (~64k vectors per block, floor 8):
+    Ray's CPU-proportional default block count makes downstream
+    groupbys pay per near-empty block pair on modest tables — the same
+    sizing rule as the documents/events readers (measured 2-4× on the
+    shuffle-bound queries)."""
+    import math
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    n_rows = pq.read_metadata(parquet_path).num_rows
+    blocks = max(min_blocks, math.ceil(n_rows / rows_per_block))
+    return rd.read_parquet(
+        parquet_path, columns=list(columns), override_num_blocks=blocks
+    )
+
+
 def load_matrix(parquet_path: str, columns=(ID_COL, EMB_COL)) -> tuple[np.ndarray, np.ndarray]:
     """Whole-table (ids, normalized matrix) load — TEST-ORACLE HELPER
     ONLY (brute-force comparisons in tests/). No pipeline operator calls
@@ -232,7 +256,7 @@ def embedding_neardup_bucketed(
                 }
             )
 
-    ds = rd.read_parquet(path, columns=[ID_COL, EMB_COL])
+    ds = read_embeddings(path)
     bucketed = ds.map_batches(
         AssignMulti,
         batch_format="pyarrow",
@@ -336,7 +360,7 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10, *, concurrency=2):
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     queries_ref = ray.put(load_queries(path, n_queries))
-    ds = rd.read_parquet(path, columns=[ID_COL, EMB_COL])
+    ds = read_embeddings(path)
     partial = ds.map_batches(
         TopKPartial,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
@@ -363,7 +387,7 @@ def sample_matrix(parquet_path: str, target_rows: int) -> tuple[np.ndarray, np.n
     import ray.data as rd
 
     n_rows = pq.read_metadata(parquet_path).num_rows
-    ds = rd.read_parquet(parquet_path, columns=[ID_COL, EMB_COL])
+    ds = read_embeddings(parquet_path)
     if n_rows > target_rows:
         # fine-grained threshold (not an integer-percent floor): the
         # kept fraction tracks target_rows/n_rows, so the sample stays
@@ -453,7 +477,7 @@ def ivf_topk(
     cents_ref = ray.put(cents)
     queries_ref = ray.put((qids, qmat, probes))
 
-    ds = rd.read_parquet(path, columns=[ID_COL, EMB_COL])
+    ds = read_embeddings(path)
     bucketed = ds.map_batches(
         _AssignBuckets,
         fn_constructor_kwargs={"cents_ref": cents_ref},
