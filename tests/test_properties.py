@@ -103,3 +103,50 @@ def test_minhash_tracks_jaccard(a, b):
     est = (mh.signature(a) == mh.signature(b)).mean()
     # 64 permutations → std ≈ sqrt(J(1-J)/64) ≤ 0.0625; allow 4σ
     assert abs(est - true_j) <= 0.25
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-10_000, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_group_quantiles_property_matches_quantile_disc(rows):
+    """For ANY multiset of (group, cents) values — duplicates, negatives,
+    singleton groups — the ceil(q*n)-1 index rule + searchsorted CDF
+    walk (the math group_quantiles' finish stage runs; the distributed
+    operator itself is pinned against DuckDB in test_metrics) lands on
+    exactly DuckDB's quantile_disc element at every q."""
+    import duckdb
+    import math
+
+    import numpy as np
+
+    # serial reimplementation of the finish-stage walk (no Ray inside a
+    # hypothesis example: session fixtures + shrinking don't mix)
+    from intelligent_ocr_ray.stages.sketches import group_quantiles  # noqa: F401 — API under test
+
+    qs = (0.5, 0.9, 0.99)
+    groups = sorted({g for g, _ in rows})
+    got = {}
+    for g in groups:
+        vals = np.sort(np.array([v for gg, v in rows if gg == g], dtype=np.int64))
+        counts = np.ones(len(vals), np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        got[g] = tuple(
+            int(vals[np.searchsorted(cum, max(0, math.ceil(q * n) - 1) + 1, "left")])
+            for q in qs
+        )
+    want_rows = duckdb.sql(
+        "SELECT g, quantile_disc(v, 0.5), quantile_disc(v, 0.9), quantile_disc(v, 0.99) "
+        "FROM (SELECT unnest(?) g, unnest(?) v) GROUP BY g",
+        params=[[g for g, _ in rows], [v for _, v in rows]],
+    ).fetchall()
+    want = {r[0]: (r[1], r[2], r[3]) for r in want_rows}
+    assert got == want
