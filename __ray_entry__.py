@@ -63,18 +63,13 @@ def _docs(
     modest table wants size-proportional blocks instead (measured 2-4×
     across exact_dedup/minhash/jaccard/simhash/vocab at sf0.1: e.g.
     exact_dedup 0.9 s → 0.3 s, vocab_topk 1.25 s → 0.33 s)."""
-    import math
+    from intelligent_ocr_ray.io_utils import sized_read_parquet
 
-    import pyarrow.parquet as pq
-    import ray.data as rd
+    return sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns,
+        rows_per_block=rows_per_block, min_blocks=min_blocks,
+    )
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    n_rows = pq.read_metadata(path).num_rows
-    blocks = max(min_blocks, math.ceil(n_rows / rows_per_block))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
-
-
-_docs_sized = _docs  # back-compat alias (exact_dedup predates the default)
 
 
 # --- entry ---------------------------------------------------------------
@@ -198,7 +193,7 @@ def _q_exact_dedup(sf_dir: str):
     core/checkpoint.py:37-41). Oracle mirrors with GROUP BY md5(text)."""
     from intelligent_ocr_ray.stages.dedup import exact_dedup
 
-    return exact_dedup(_docs_sized(sf_dir, ["doc_id", "text"]))
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_doc_stats_by_lang(sf_dir: str):
@@ -685,7 +680,7 @@ def _minhash_cte() -> str:
     )
     m = BAND_KEY_MOD
     return f"""
-toks AS (SELECT doc_id, regexp_extract_all(text, {_TOKEN_RE_SQL}) AS w FROM documents),
+toks AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), {_TOKEN_RE_SQL}) AS w FROM documents),
 gidx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM toks),
 grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram FROM gidx),
 gh AS (SELECT doc_id, CAST(md5_number_lower(gram) % 4294967296 AS HUGEINT) AS g FROM grams),
@@ -747,7 +742,7 @@ def _simhash_sql() -> str:
     4×16-bit band bucketing with the bucket cap, Hamming =
     bit_count(xor) ≤ 3."""
     return """
-        WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \\t\\r\\n]+')) AS t
+        WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '[^ \\t\\r\\n]+')) AS t
                     FROM documents),
         tw AS (SELECT doc_id, t, count(*) AS w FROM tk GROUP BY doc_id, t),
         bits AS (SELECT doc_id, j,
@@ -760,7 +755,7 @@ def _simhash_sql() -> str:
         sh AS (SELECT * FROM shp
                UNION ALL
                SELECT doc_id, CAST(0 AS HUGEINT) FROM documents
-               WHERE len(regexp_extract_all(text, '[^ \\t\\r\\n]+')) = 0),
+               WHERE len(regexp_extract_all(coalesce(text, ''), '[^ \\t\\r\\n]+')) = 0),
         bk AS (SELECT doc_id, b AS band_idx,
                       CAST((shu // (CAST(1 AS HUGEINT) << (16 * b))) % 65536 AS BIGINT) AS band_key,
                       CAST(CASE WHEN shu >= 9223372036854775808
@@ -783,7 +778,7 @@ _FINGERPRINT_SQL = f"""
     SELECT doc_id,
            CAST(list_reduce(
              list_prepend(CAST(0 AS HUGEINT),
-               list_transform(regexp_extract_all(text, {_TOKEN_RE_SQL}),
+               list_transform(regexp_extract_all(coalesce(text, ''), {_TOKEN_RE_SQL}),
                               t -> CAST(md5_number_lower(t) AS HUGEINT))),
              (a, b) -> (a * 1000003 + b) % 2305843009213693951) AS BIGINT) AS fingerprint
     FROM documents
@@ -958,7 +953,7 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": """
             WITH c AS (SELECT event_type,
                               CAST(round_even(value * 100, 0) AS BIGINT) AS cents
-                       FROM events WHERE value IS NOT NULL)
+                       FROM events WHERE value IS NOT NULL AND NOT isnan(value))
             SELECT event_type,
                    quantile_disc(cents, 0.5) AS p50_cents,
                    quantile_disc(cents, 0.9) AS p90_cents,

@@ -116,8 +116,9 @@ def run_bench() -> dict:
     # 100-TB rule: a FIXED 64/256 layout at 32M turns made partition
     # tasks 2× chunkier and the 32-CPU wall superlinear (measured 58 s
     # fixed → 37 s sized; 16M and below are unchanged by the formula).
-    n_parts = max(256, n_rows // 62_500)
-    n_read_blocks = max(64, n_rows // 250_000)
+    from intelligent_ocr_ray.pipelines.resumable import suggest_layout
+
+    n_parts, n_read_blocks = suggest_layout(src, min_parts=256, min_blocks=64)
     headline = float("inf")
     for trial in range(3):  # best-of-3: multi-tenant host noise up to 4×
         out_dir = f"/tmp/ior_bench_out/cpus{NUM_CPUS}_t{trial}"

@@ -138,7 +138,9 @@ def cmd_submit(args) -> int:
     if not ok:
         print(json.dumps({"ok": False, "detail": f"invalid input: {msg}"}))
         return 2
-    spec = {"input": args.input, "out": args.out, "num_parts": args.num_parts}
+    spec = {"input": args.input, "out": args.out}
+    if args.num_parts is not None:
+        spec["num_parts"] = args.num_parts  # else drain sizes from the input
     try:
         job_id = submit_job(args.queue, spec, queue_cap=args.queue_cap)
     except QueueFullError as e:
@@ -155,9 +157,14 @@ def cmd_drain(args) -> int:
     surface (web/api/tasks.py:285-353), with `ray job submit`-style
     execution instead of an in-process thread pool."""
     from .config import DEFAULT_CONFIG
-    from .pipelines.resumable import audit_completeness, run_resumable
-    from .state.jobqueue import claim_next_job, finish_job
+    from .pipelines.resumable import audit_completeness, run_resumable, suggest_layout
+    from .state.jobqueue import claim_next_job, finish_job, requeue_running
 
+    if args.reclaim:
+        # jobs stranded in running/ by a dead worker go back to queued/
+        # (runs are resumable — a reclaim re-runs only pending partitions)
+        for job_id in requeue_running(args.queue):
+            print(json.dumps({"event": "job_reclaimed", "job_id": job_id}), flush=True)
     ray = _ray_init(args.num_cpus)
     n_run = 0
     try:
@@ -167,9 +174,15 @@ def cmd_drain(args) -> int:
                 break
             job_id, spec = claimed
             try:
+                num_parts = spec.get("num_parts")
+                if num_parts is None:
+                    # same data-proportional sizing as `run` (a fixed
+                    # default reproduces the chunky-task superlinearity
+                    # suggest_layout exists to prevent)
+                    num_parts, _ = suggest_layout(spec["input"])
                 manifest = run_resumable(
                     spec["input"], spec["out"], DEFAULT_CONFIG,
-                    num_parts=int(spec.get("num_parts", 32)),
+                    num_parts=int(num_parts),
                 )
                 complete, n_in, n_out = audit_completeness(spec["input"], manifest)
                 finish_job(
@@ -177,7 +190,11 @@ def cmd_drain(args) -> int:
                     {"complete": complete, "rows_in": n_in, "rows_out": n_out},
                 )
             except Exception as e:  # noqa: BLE001 — job failure is a queue state
-                finish_job(args.queue, job_id, False, {"error": repr(e)[:500]})
+                try:
+                    finish_job(args.queue, job_id, False, {"error": repr(e)[:500]})
+                except Exception:  # noqa: BLE001 — never kill the worker loop
+                    print(json.dumps({"event": "finish_failed", "job_id": job_id}),
+                          file=sys.stderr, flush=True)
             n_run += 1
             print(json.dumps({"event": "job_finished", "job_id": job_id}), flush=True)
     finally:
@@ -245,7 +262,9 @@ def main(argv: list[str] | None = None) -> int:
     sb.add_argument("--queue", required=True)
     sb.add_argument("--input", required=True)
     sb.add_argument("--out", required=True)
-    sb.add_argument("--num-parts", type=int, default=32)
+    sb.add_argument("--num-parts", type=int, default=None,
+                    help="output partitions; default lets the drain worker "
+                         "size from the input (suggest_layout)")
     sb.add_argument("--queue-cap", type=int, default=10,
                     help="admission cap: reject submits past this many queued jobs")
     sb.set_defaults(fn=cmd_submit)
@@ -253,6 +272,9 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("drain", help="claim and run queued jobs (worker loop)")
     d.add_argument("--queue", required=True)
     d.add_argument("--max-jobs", type=int, default=None)
+    d.add_argument("--reclaim", action="store_true",
+                   help="first requeue jobs stranded in running/ by a dead "
+                        "worker (only when no live worker owns the queue)")
     d.set_defaults(fn=cmd_drain)
 
     w = sub.add_parser("watch", help="poll a submitted job until done/failed")

@@ -1,0 +1,35 @@
+"""Shared read-sizing helper: block counts follow DATA, not CPUs.
+
+Ray's default parquet block count tracks CPU parallelism (e.g. 64
+blocks at 32 CPUs) regardless of input size. Every all-to-all
+downstream then pays per block PAIR, so a modest table read at CPU
+granularity hands the shuffle dozens of near-empty blocks — measured
+2-4× of whole-query wall across the dedup/events/relational pipelines —
+while at the other end a FIXED block count makes tasks superlinearly
+chunky as the corpus grows (BENCH/BASELINE.md round 3). The rule both
+ways: ~constant rows per block, computed from parquet metadata.
+
+Per-table row targets stay with the callers (documents ≈ 64k text rows,
+facts ≈ 256k narrow rows, …); this module owns only the mechanism.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def sized_read_parquet(
+    path: str,
+    columns: list[str] | None = None,
+    *,
+    rows_per_block: int,
+    min_blocks: int = 8,
+):
+    """read_parquet with override_num_blocks = max(min_blocks,
+    ceil(rows / rows_per_block)) from file metadata."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    n_rows = pq.read_metadata(path).num_rows
+    blocks = max(min_blocks, math.ceil(n_rows / rows_per_block))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)

@@ -23,18 +23,15 @@ from ray.data.aggregate import Count, Sum
 
 
 def read_events(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Metadata-sized read: ~64k rows per block (floor 8) instead of
-    Ray's CPU-proportional default. Every consumer here feeds a
-    groupby, which pays per block PAIR — 64 near-empty blocks for a
-    100k-row table measured 3-4× the query wall (0.24-0.34 s sized vs
-    1.0-1.1 s default across the four events queries at 32 CPUs);
-    at petabyte scale the same formula keeps blocks ~20 MB."""
-    import pyarrow.parquet as pq
+    """Metadata-sized read (~64k rows/block, io_utils rationale): every
+    consumer here feeds a groupby, which pays per block PAIR — sizing
+    measured 3-4× of whole-query wall (0.24-0.34 s sized vs 1.0-1.1 s
+    default across the four events queries at 32 CPUs)."""
+    from ..io_utils import sized_read_parquet
 
-    path = os.path.join(sf_dir, "events.parquet")
-    n_rows = pq.read_metadata(path).num_rows
-    blocks = max(8, n_rows // 65536)
-    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+    return sized_read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns, rows_per_block=65536
+    )
 
 
 def hourly_rollup(sf_dir: str) -> rd.Dataset:

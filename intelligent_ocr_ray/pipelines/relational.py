@@ -32,19 +32,14 @@ def _read(
     rows_per_block: int = 262_144,
     min_blocks: int = 8,
 ) -> rd.Dataset:
-    """Metadata-sized read (~256k narrow fact rows per block, floor 8):
-    the block-count-follows-data rule — Ray's CPU-proportional default
-    hands a downstream groupby dozens of near-empty blocks on modest
-    tables, and the shuffle pays per block PAIR (measured 2-4× on the
-    events/dedup queries; same physics here)."""
-    import math
+    """Metadata-sized read (~256k narrow fact rows per block; io_utils
+    rationale — the shuffle pays per block PAIR)."""
+    from ..io_utils import sized_read_parquet
 
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    n_rows = pq.read_metadata(path).num_rows
-    blocks = max(min_blocks, math.ceil(n_rows / rows_per_block))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+    return sized_read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns,
+        rows_per_block=rows_per_block, min_blocks=min_blocks,
+    )
 
 
 def pricing_summary(sf_dir: str) -> rd.Dataset:

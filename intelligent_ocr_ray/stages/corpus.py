@@ -254,40 +254,39 @@ def decontaminate(
     Scale shape: the benchmark gram-hash set (the small side) is
     broadcast once via ray.put; the corpus side is a pure per-batch
     map — per-doc distinct gram hashes membership-tested against the
-    sorted broadcast array (np.isin) — NO shuffle at all. The oracle
-    replays the same md5 gram hashing and join in SQL."""
+    sorted broadcast array (np.isin) — NO shuffle at all. The map runs
+    as stateless TASKS (elastic parallelism: the per-doc md5 gram
+    hashing is the dominant cost, and a fixed small actor pool here
+    would reproduce the bottleneck the minhash pipeline measured and
+    removed); ray.get of the broadcast ref inside each task is a
+    zero-copy local object-store read. The oracle replays the same md5
+    gram hashing and join in SQL."""
     import ray
 
     bench = benchmark_gram_hashes(ds, n=n)
     bench_ref = ray.put(bench)
 
-    class FlagOverlap:
-        def __init__(self):
-            self.bench = ray.get(bench_ref)
+    def flag_overlap(t: pa.Table) -> pa.Table:
+        bench_arr = ray.get(bench_ref)  # zero-copy plasma read per task
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        corpus_rows = np.flatnonzero(ids % BENCH_EVERY != 0)
+        out_id: list[int] = []
+        out_n: list[int] = []
+        texts = t.column("text").take(pa.array(corpus_rows)).to_pylist()
+        for i, text in zip(corpus_rows, texts):
+            hs = _gram_hashes64(text or "", n)
+            hits = int(np.isin(hs, bench_arr, assume_unique=True).sum())
+            if annotate or hits >= min_overlap:
+                out_id.append(int(ids[i]))
+                out_n.append(hits)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_overlap": pa.array(out_n, pa.int64()),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = np.asarray(t.column("doc_id"), dtype=np.int64)
-            corpus_rows = np.flatnonzero(ids % BENCH_EVERY != 0)
-            out_id: list[int] = []
-            out_n: list[int] = []
-            texts = t.column("text").take(pa.array(corpus_rows)).to_pylist()
-            for i, text in zip(corpus_rows, texts):
-                hs = _gram_hashes64(text or "", n)
-                hits = int(np.isin(hs, self.bench, assume_unique=True).sum())
-                if annotate or hits >= min_overlap:
-                    out_id.append(int(ids[i]))
-                    out_n.append(hits)
-            return pa.table(
-                {
-                    "doc_id": pa.array(out_id, pa.int64()),
-                    "n_overlap": pa.array(out_n, pa.int64()),
-                }
-            )
-
-    return ds.map_batches(
-        FlagOverlap, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=2, num_cpus=0.5,
-    )
+    return ds.map_batches(flag_overlap, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- grouped top-k --------------------------------------------------------

@@ -55,12 +55,6 @@ def word_ngrams(text: str, n: int = NGRAM_N) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
-def _hash64(data: bytes) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(data, digest_size=8).digest(), "little"
-    )
-
-
 def _md5_low64(data: bytes) -> int:
     """64-bit hash equal to DuckDB's ``md5_number_lower`` (measured:
     digest bytes [8:16] little-endian) — the cross-engine hash used
@@ -68,14 +62,6 @@ def _md5_low64(data: bytes) -> int:
     (minhash, simhash, fingerprint; same discipline as the KMV
     sketch's md5 bottom-k)."""
     return int.from_bytes(hashlib.md5(data).digest()[8:16], "little")
-
-
-def _gram_hashes(grams: set[str]) -> np.ndarray:
-    """Stable 64-bit hash per shingle (uint64)."""
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = _hash64(g.encode("utf-8"))
-    return out
 
 
 # --- exact n-gram Jaccard (inverted index) --------------------------------

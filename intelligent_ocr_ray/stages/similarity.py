@@ -63,20 +63,13 @@ def read_embeddings(
     rows_per_block: int = 65536,
     min_blocks: int = 8,
 ):
-    """Metadata-sized embeddings read (~64k vectors per block, floor 8):
-    Ray's CPU-proportional default block count makes downstream
-    groupbys pay per near-empty block pair on modest tables — the same
-    sizing rule as the documents/events readers (measured 2-4× on the
-    shuffle-bound queries)."""
-    import math
+    """Metadata-sized embeddings read (~64k vectors per block; io_utils
+    rationale — downstream groupbys pay per block pair)."""
+    from ..io_utils import sized_read_parquet
 
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
-    n_rows = pq.read_metadata(parquet_path).num_rows
-    blocks = max(min_blocks, math.ceil(n_rows / rows_per_block))
-    return rd.read_parquet(
-        parquet_path, columns=list(columns), override_num_blocks=blocks
+    return sized_read_parquet(
+        parquet_path, list(columns),
+        rows_per_block=rows_per_block, min_blocks=min_blocks,
     )
 
 
@@ -317,8 +310,12 @@ class TopKPartial:
             mask = bids != qid  # a query is not its own neighbor
             cand_ids, cand_cos = bids[mask], row[mask]
             if len(cand_ids) > self.k:
-                part = np.argpartition(-cand_cos, self.k)[: self.k]
-                cand_ids, cand_cos = cand_ids[part], cand_cos[part]
+                # truncation must apply the SAME total order as the
+                # final reduce (cos desc, neighbor_id asc): a plain
+                # argpartition keeps an arbitrary subset of cos TIES at
+                # the k boundary and could drop the id the oracle ranks
+                keep = np.lexsort((cand_ids, -cand_cos))[: self.k]
+                cand_ids, cand_cos = cand_ids[keep], cand_cos[keep]
             out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
             out_n.append(cand_ids)
             out_c.append(cand_cos)
@@ -513,8 +510,9 @@ def ivf_topk(
             mask = bids != qid
             cid, cc = bids[mask], row[mask]
             if len(cid) > k:
-                part = np.argpartition(-cc, k)[:k]
-                cid, cc = cid[part], cc[part]
+                # same (cos desc, id asc) tie-break as the final reduce
+                keep = np.lexsort((cid, -cc))[:k]
+                cid, cc = cid[keep], cc[keep]
             qs.append(np.full(len(cid), qid, dtype=np.int64))
             ns.append(cid)
             cs.append(cc)

@@ -92,8 +92,13 @@ def claim_next_job(queue_dir: str) -> tuple[str, dict] | None:
 
 
 def finish_job(queue_dir: str, job_id: str, ok: bool, result: dict) -> None:
-    """running/ → done/ (or failed/) with the result merged in."""
+    """running/ → done/ (or failed/) with the result merged in.
+    Idempotent: if the job already left running/ (a previous finish got
+    through the replace but died before the unlink, or a second caller
+    races), this is a no-op — a job never lands in two terminal states."""
     src = os.path.join(_state_dir(queue_dir, "running"), f"{job_id}.json")
+    if not os.path.isfile(src):
+        return  # already finished (or never claimed) — nothing to move
     with open(src, encoding="utf-8") as f:
         body = json.load(f)
     body.update(result, finished_at=time.time())
@@ -101,8 +106,30 @@ def finish_job(queue_dir: str, job_id: str, ok: bool, result: dict) -> None:
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(body, f)
     dst_state = "done" if ok else "failed"
-    os.replace(tmp, os.path.join(_state_dir(queue_dir, dst_state), f"{job_id}.json"))
+    # unlink BEFORE publishing the terminal copy: a crash between the
+    # two steps then leaves the job claimable-by-requeue (safe — runs
+    # are resumable/idempotent) instead of present in two states
     os.unlink(src)
+    os.replace(tmp, os.path.join(_state_dir(queue_dir, dst_state), f"{job_id}.json"))
+
+
+def requeue_running(queue_dir: str) -> list[str]:
+    """Move every running/ job back to queued/ — the reclaim path for
+    jobs stranded by a worker that died mid-run (the reference's task
+    store ages out stuck PROCESSING tasks the same way). Safe because
+    runs are resumable: a reclaimed job re-runs only its pending
+    partitions. Only call when no live worker owns the queue."""
+    ensure_queue(queue_dir)
+    moved = []
+    for job_id in list_jobs(queue_dir, "running"):
+        src = os.path.join(_state_dir(queue_dir, "running"), f"{job_id}.json")
+        dst = os.path.join(_state_dir(queue_dir, "queued"), f"{job_id}.json")
+        try:
+            os.rename(src, dst)
+            moved.append(job_id)
+        except OSError:
+            continue
+    return moved
 
 
 def job_status(queue_dir: str, job_id: str) -> dict:

@@ -386,3 +386,48 @@ def test_exact_dedup_null_vs_empty_text():
     assert got[NULL_CONTENT_KEY] == 1  # min id among the null rows
     assert got[hashlib.md5(b"").hexdigest()] == 3  # min id among '' rows
     assert len(got) == 3
+
+
+def test_null_text_oracle_parity(tmp_path):
+    """Ray and the DuckDB oracles agree on a corpus that CONTAINS null
+    text (absent from the driver's testdata): null canonicalizes to ''
+    for minhash/simhash/fingerprint — a null-text doc gets the sentinel
+    signature / zero hash and pairs with empty-text docs — while
+    exact_dedup keeps null and '' as DISTINCT groups (review r3)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([None, "", "alpha beta gamma delta", "alpha beta gamma delta", "  "]),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    for name in ("minhash_dups", "simhash_dups", "fingerprint", "exact_dedup"):
+        got = canon(qs[name](str(tmp_path)).to_pandas())
+        want = canon(con.sql(oracles[name]).df())
+        assert list(got.columns) == list(want.columns), name
+        assert got.astype(str).equals(want.astype(str)), (name, got, want)
+    # sanity of the semantics themselves: null+empty+whitespace docs all
+    # collide in minhash (sentinel sigs -> est 1.0), and the dup pair too
+    mh = qs["minhash_dups"](str(tmp_path)).to_pandas()
+    assert {(1, 2), (1, 5), (2, 5), (3, 4)} <= set(zip(mh.doc_a, mh.doc_b))
