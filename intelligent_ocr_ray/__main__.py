@@ -52,6 +52,8 @@ def cmd_run(args) -> int:
             partition_timeout_s=args.partition_timeout,
             degraded_rerun=args.degraded_rerun,
             progress_callback=progress_cb,
+            fuse_extract=args.fuse,
+            salt_turns=args.salt_turns,
         )
         complete, n_in, n_out = audit_completeness(args.input, manifest)
         print(
@@ -242,6 +244,16 @@ def main(argv: list[str] | None = None) -> int:
                         "longest single unit of work, not the whole phase")
     r.add_argument("--degraded-rerun", action="store_true",
                    help="rerun failed/hung partitions under the degraded profile ladder")
+    r.add_argument("--fuse", action=argparse.BooleanOptionalAction, default=True,
+                   help="fused partitioned layout (one narrow shuffle, "
+                        "sort+extract+write per partition — the cluster-scale "
+                        "path and the bench headline); --no-fuse runs the "
+                        "staged extract + wide shuffle form")
+    r.add_argument("--salt-turns", type=int, default=None,
+                   help="skew escape hatch: split mega-conversations into "
+                        "turn_idx // N sub-keys for partitioning (output stays "
+                        "sorted within each partition; whole-conversation "
+                        "contiguity needs a merge at read time)")
     r.set_defaults(fn=cmd_run)
 
     s = sub.add_parser("status", help="inspect a run directory's manifest")
