@@ -100,6 +100,7 @@ class Span:
     text: str
     score: float
     vertical: bool = False
+    font_size: float = 0.0  # M12: 0.0 for text-only routes (no geometry)
 
     def to_dict(self) -> dict:
         return {
@@ -108,6 +109,7 @@ class Span:
             "text": self.text,
             "score": self.score,
             "vertical": self.vertical,
+            "font_size": self.font_size,
         }
 
 
@@ -281,20 +283,29 @@ def extract_pdfish(text: str, config: ExtractorConfig) -> Extraction:
             continue
         x0, y0, x1, y1 = float(g0), float(g1), float(g2), float(g3)
         if (y1 - y0) > aspect * (x1 - x0):
-            vertical_cols.append((-x1, y0, i, conf, txt, True))
+            vertical_cols.append((-x1, y0, i, conf, txt, True, x1 - x0, y1 - y0))
         else:
-            horizontal.append((y0, x0, i, conf, txt, False))
+            horizontal.append((y0, x0, i, conf, txt, False, x1 - x0, y1 - y0))
 
     horizontal.sort(key=lambda t: t[:3])
     vertical_cols.sort(key=lambda t: t[:3])
 
     spans: list[Span] = []
     parts: list[str] = []
-    for _, _, _, conf, raw, vert in horizontal + vertical_cols:
+    for _, _, _, conf, raw, vert, w, h in horizontal + vertical_cols:
         norm = nfkc_strip(raw)
         if not norm:
             continue
-        spans.append(Span(len(spans), "pdfish_line", norm, conf, vert))
+        # M12 font-size metric (core/pdf_processor.py:652-659): vertical
+        # min(w*0.9, h/chars*0.9); horizontal min(h*0.9, w/chars*1.5);
+        # clamped to [4, 72]
+        chars = max(len(norm), 1)
+        if vert:
+            fs = min(w * 0.9, h / chars * 0.9)
+        else:
+            fs = min(h * 0.9, w / chars * 1.5)
+        fs = min(max(fs, 4.0), 72.0)
+        spans.append(Span(len(spans), "pdfish_line", norm, conf, vert, fs))
         parts.append(norm)
     return Extraction(ROUTE_PDFISH, "\n".join(parts), spans, STATUS_OK)
 

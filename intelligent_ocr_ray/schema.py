@@ -27,6 +27,9 @@ SPAN_TYPE = pa.struct(
         pa.field("text", pa.string()),
         pa.field("score", pa.float64()),
         pa.field("vertical", pa.bool_()),
+        # M12 span font metric (core/pdf_processor.py:652-659): computed
+        # from layout geometry for pdfish spans, 0.0 for text-only routes
+        pa.field("font_size", pa.float64()),
     ]
 )
 

@@ -159,6 +159,7 @@ class ExtractTurns:
                 vals,
                 pa.array(np.ones(k, np.float64), pa.float64()),
                 pa.array(np.zeros(k, bool), pa.bool_()),
+                pa.array(np.zeros(k, np.float64), pa.float64()),  # font_size: no geometry
             ],
             fields=list(SPAN_TYPE),
         )

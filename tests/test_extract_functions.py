@@ -261,3 +261,29 @@ def test_ngram_lang_id_vectorized_equals_serial():
         for x, c in zip(t.column("text").to_pylist(), is_cjk)
     ]
     assert got == want
+
+
+def test_pdfish_span_font_size_metric():
+    """M12 span font metric (core/pdf_processor.py:652-659): vertical
+    min(w*0.9, h/chars*0.9), horizontal min(h*0.9, w/chars*1.5),
+    clamped [4, 72]; text-only routes carry 0.0 (no geometry)."""
+    payload = "\n".join(
+        [
+            "%LAYOUT",
+            "0,0,100,20,0.9|abcdefghij",       # horizontal: w=100 h=20
+            "0,0,10,90,0.9|xy",                # vertical (h > 2w): w=10 h=90
+            "0,0,2000,2000,0.9|ab",            # clamp high -> 72
+            "0,0,3,3,0.9|toolongtextforbox",   # clamp low -> 4
+        ]
+    )
+    from intelligent_ocr_ray.config import DEFAULT_CONFIG
+    from intelligent_ocr_ray.functions.extract import extract_plain
+
+    ext = extract_pdfish(payload, DEFAULT_CONFIG)
+    by_text = {s.text: s for s in ext.spans}
+    assert by_text["abcdefghij"].font_size == min(20 * 0.9, 100 / 10 * 1.5)
+    assert by_text["xy"].font_size == min(10 * 0.9, 90 / 2 * 0.9)
+    assert by_text["ab"].font_size == 72.0
+    assert by_text["toolongtextforbox"].font_size == 4.0
+    plain = extract_plain("hi", DEFAULT_CONFIG)
+    assert plain.spans[0].font_size == 0.0
