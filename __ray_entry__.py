@@ -212,9 +212,11 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_events_sessions(sf_dir: str):
+    """Session windows; money natively in per-value-rounded integer
+    cents (order-independent across engines — see sessionize)."""
     from intelligent_ocr_ray.pipelines.events import sessionize
 
-    return _cents_cols(sessionize(sf_dir), ["sum_value"])
+    return sessionize(sf_dir)
 
 
 def _q_events_props(sf_dir: str):
@@ -601,7 +603,7 @@ _PASSTHROUGH_SQL = f"""
 WITH t AS ({SQL_DERIVATION}),
 r AS (
   SELECT conv_id, turn_idx, text,
-         trim(text, {_WS_TRIM}) AS s
+         coalesce(trim(text, {_WS_TRIM}), '') AS s
   FROM t
 ),
 c AS (
@@ -647,7 +649,7 @@ def _ngram_lang_sql() -> str:
         f"WHEN h_{l} = {g4} THEN '{l}'" for l in langs[:-1]
     )
     return f"""
-        WITH l AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
+        WITH l AS (SELECT doc_id, coalesce(text, '') AS text, lower(coalesce(text, '')) AS lt FROM documents),
         h AS (SELECT doc_id, text, {", ".join(hit_cols)} FROM l)
         SELECT doc_id,
                CASE WHEN regexp_matches(text, '[一-龥぀-ゟ゠-ヿ]') THEN 'cjk'
@@ -818,7 +820,7 @@ _LAYOUT_LINE_SQL = f"'^[ \\t\\r\\n]*({_NUM},){{4}}{_NUM}\\|'"
 
 _STATUS_PROFILE_SQL = f"""
 WITH t AS ({SQL_DERIVATION}),
-r AS (SELECT text, trim(text, {_WS_TRIM}) AS s FROM t),
+r AS (SELECT text, coalesce(trim(text, {_WS_TRIM}), '') AS s FROM t),
 c AS (
   SELECT text, s,
          (s = '' OR regexp_matches(s, {_NOISE_RE})) AS is_blank,
@@ -931,7 +933,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props": """
             SELECT event_type,
-                   CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(sum(CAST(nullif(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
@@ -998,7 +1000,8 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT user_id, session_idx, count(*) AS n_events,
-                   CAST(round_even(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents, min(ts) AS session_start
+                   CAST(coalesce(sum(CAST(round_even(value * 100, 0) AS BIGINT)), 0) AS BIGINT) AS sum_value_cents,
+                   min(ts) AS session_start
             FROM s GROUP BY user_id, session_idx
         """,
         "pricing_summary": """

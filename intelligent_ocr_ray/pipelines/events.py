@@ -253,7 +253,7 @@ def sessionize(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
                 "user_id": pa.array([], pa.int64()),
                 "session_idx": pa.array([], pa.int64()),
                 "n_events": pa.array([], pa.int64()),
-                "sum_value": pa.array([], pa.float64()),
+                "sum_value_cents": pa.array([], pa.int64()),
                 "session_start": pa.array([], pa.timestamp("us")),
             }
         )
@@ -262,10 +262,17 @@ def sessionize(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
         ts = np.asarray(g.column("ts").cast(pa.int64()))  # µs since epoch
         user = np.asarray(g.column("user_id"), dtype=np.int64)
         eid = np.asarray(g.column("event_id"), dtype=np.int64)
-        # null value ≡ skipped by sum on both engines → additive zero
-        vals = np.asarray(
-            pc.fill_null(g.column("value").cast(pa.float64()), 0.0), dtype=np.float64
+        # money sums in integer CENTS, rounded per value BEFORE summing
+        # (the events_rolling discipline): a float session sum is
+        # summation-order-sensitive, and a half-even cent rounding of it
+        # measurably flips at .5 boundaries between numpy's reduceat
+        # order and DuckDB's scan order (caught by tools/fuzz_oracles).
+        # null ≡ additive zero (≡ SQL sum's null-skip).
+        cents = pc.cast(
+            pc.round(pc.multiply(g.column("value").cast(pa.float64()), 100.0), ndigits=0),
+            pa.int64(),
         )
+        vals = np.asarray(pc.fill_null(cents, 0), dtype=np.int64)
         order = np.lexsort((eid, ts, user))
         user, ts, vals = user[order], ts[order], vals[order]
         new_user = np.concatenate([[True], user[1:] != user[:-1]])
@@ -285,7 +292,7 @@ def sessionize(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
                 "n_events": pa.array(
                     np.diff(np.concatenate([starts, [n]])), pa.int64()
                 ),
-                "sum_value": pa.array(np.add.reduceat(vals, starts), pa.float64()),
+                "sum_value_cents": pa.array(np.add.reduceat(vals, starts), pa.int64()),
                 "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
             }
         )
