@@ -35,23 +35,6 @@ SF0001 = "/root/testdata/sf0.001"
 # --- helpers --------------------------------------------------------------
 
 
-def _cents_cols(ds, cols: list[str]):
-    """Re-emit float-sum columns as integer cents (×100, half-to-even,
-    int64). Rounded DOUBLEs are not comparable across engines (the
-    nearest-double of e.g. 83.46 is implementation-dependent); integers
-    hash identically everywhere. The oracle SQL mirrors with
-    CAST(round_even(sum(x)*100, 0) AS BIGINT)."""
-
-    def f(t: pa.Table) -> pa.Table:
-        for c in cols:
-            i = t.schema.get_field_index(c)
-            cents = pc.cast(pc.round(pc.multiply(t.column(c), 100.0), ndigits=0), pa.int64())
-            t = t.set_column(i, c + "_cents", cents)
-        return t
-
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-
-
 def _docs(
     sf_dir: str, columns: list[str], *, rows_per_block: int = 65536, min_blocks: int = 8
 ):
@@ -206,9 +189,11 @@ def _q_doc_stats_by_lang(sf_dir: str):
 
 
 def _q_events_hourly(sf_dir: str):
+    """Tumbling hourly rollup; money natively in per-value integer
+    cents (order-independent across engines)."""
     from intelligent_ocr_ray.pipelines.events import hourly_rollup
 
-    return _cents_cols(hourly_rollup(sf_dir), ["sum_value"])
+    return hourly_rollup(sf_dir)
 
 
 def _q_events_sessions(sf_dir: str):
@@ -253,23 +238,25 @@ def _q_events_rolling(sf_dir: str):
 
 
 def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 rollup; all money fixed-point per value before summing
+    (qty/base in cents, the 4-decimal disc product in MICROS — the sum
+    of a 4dp product lands exactly on a half-cent boundary with ~0.1
+    probability per group, where float-sum order picks the side)."""
     from intelligent_ocr_ray.pipelines.relational import pricing_summary
 
-    return _cents_cols(
-        pricing_summary(sf_dir), ["sum_qty", "sum_base_price", "sum_disc_price"]
-    )
+    return pricing_summary(sf_dir)
 
 
 def _q_revenue_by_nation(sf_dir: str):
     from intelligent_ocr_ray.pipelines.relational import revenue_by_nation
 
-    return _cents_cols(revenue_by_nation(sf_dir), ["revenue"])
+    return revenue_by_nation(sf_dir)
 
 
 def _q_supplier_balance_by_region(sf_dir: str):
     from intelligent_ocr_ray.pipelines.relational import supplier_balance_by_region
 
-    return _cents_cols(supplier_balance_by_region(sf_dir), ["total_balance"])
+    return supplier_balance_by_region(sf_dir)
 
 
 def _q_docs_with_labels(sf_dir: str):
@@ -928,7 +915,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   CAST(round_even(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents, count(*) AS n_events
+                   CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                   count(*) AS n_events
             FROM events GROUP BY 1, 2
         """,
         "events_props": """
@@ -1006,14 +994,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(round_even(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_cents,
-                   CAST(round_even(sum(l_extendedprice) * 100, 0) AS BIGINT) AS sum_base_price_cents,
-                   CAST(round_even(sum(l_extendedprice * (1.0 - l_discount)) * 100, 0) AS BIGINT) AS sum_disc_price_cents,
+                   CAST(sum(CAST(round_even(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   CAST(sum(CAST(round_even(l_extendedprice * (1.0 - l_discount) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price_micros,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "revenue_by_nation": """
-            SELECT n_name, CAST(round_even(sum(o_totalprice) * 100, 0) AS BIGINT) AS revenue_cents,
+            SELECT n_name,
+                   CAST(sum(CAST(round_even(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -1036,7 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_balance_by_region": """
             SELECT r_name,
-                   CAST(round_even(sum(s_acctbal) * 100, 0) AS BIGINT) AS total_balance_cents,
+                   CAST(sum(CAST(round_even(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS total_balance_cents,
                    count(*) AS n_suppliers
             FROM supplier
             JOIN nation ON s_nationkey = n_nationkey

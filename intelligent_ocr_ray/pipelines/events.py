@@ -46,17 +46,24 @@ def hourly_rollup(sf_dir: str) -> rd.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
-        t = batch.drop_columns(["ts"]).append_column("hour", hour)
-        # arrow-native within-batch combine; count_all = count(*)
-        # semantics (a null `value` still counts as an event, matching
-        # the oracle SQL)
+        # money fixed-point per value before summation (order-free
+        # across engines; see pricing_summary) — null stays null, so an
+        # all-null window sums to NULL on both sides
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0), ndigits=0), pa.int64()
+        )
+        t = pa.table(
+            {"hour": hour, "event_type": batch.column("event_type"), "cents": cents}
+        )
+        # count_all = count(*) semantics (a null `value` still counts
+        # as an event, matching the oracle SQL)
         return pa.TableGroupBy(t, ["hour", "event_type"]).aggregate(
-            [("value", "sum"), ([], "count_all")]
+            [("cents", "sum"), ([], "count_all")]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = partials.groupby(["hour", "event_type"]).aggregate(
-        Sum("value_sum", alias_name="sum_value"),
+        Sum("cents_sum", alias_name="sum_value_cents"),
         Sum("count_all", alias_name="n_events"),
     )
     return out

@@ -43,29 +43,50 @@ def _read(
 
 
 def pricing_summary(sf_dir: str) -> rd.Dataset:
-    """TPC-H Q1-shaped rollup on lineitem (pre-aggregated)."""
+    """TPC-H Q1-shaped rollup on lineitem (pre-aggregated).
+
+    Money is fixed-point from the first touch: each value rounds
+    half-even to integer units (quantity/base price → cents; the
+    4-decimal extendedprice×(1−discount) product → MICROS) and only
+    integers are summed. A float sum rounded at the end is
+    summation-order-sensitive, and a 4-decimal product sum lands
+    EXACTLY on a half-cent boundary with probability ≈0.1 per group —
+    there the two engines' different addition orders pick opposite
+    sides. Per-value integerization is order-free and exact on both."""
     ds = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
+    def _units(col, scale: float):
+        return pc.cast(pc.round(pc.multiply(col, scale), ndigits=0), pa.int64())
+
     def partial(batch: pa.Table) -> pa.Table:
         disc_price = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        t = batch.append_column("disc_price", disc_price)
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_cents": _units(batch.column("l_quantity"), 100.0),
+                "base_cents": _units(batch.column("l_extendedprice"), 100.0),
+                "disc_micros": _units(disc_price, 1_000_000.0),
+            }
+        )
         return pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
+            [("qty_cents", "sum"), ("base_cents", "sum"), ("disc_micros", "sum"),
+             ([], "count_all")]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity_sum", alias_name="sum_qty"),
-        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
-        Sum("disc_price_sum", alias_name="sum_disc_price"),
-        Sum("l_quantity_count", alias_name="count_order"),
+        Sum("qty_cents_sum", alias_name="sum_qty_cents"),
+        Sum("base_cents_sum", alias_name="sum_base_price_cents"),
+        Sum("disc_micros_sum", alias_name="sum_disc_price_micros"),
+        Sum("count_all", alias_name="count_order"),
     )
 
 
@@ -128,19 +149,22 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         keep, mapped = _lookup_take(batch.column("c_nationkey"), names, off, nvalid)
-        t = pa.table(
-            {
-                "n_name": pa.array(mapped, pa.string()),
-                "o_totalprice": batch.column("o_totalprice").take(pa.array(keep)),
-            }
+        # fixed-point before summation (order-free; see pricing_summary)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch.column("o_totalprice").take(pa.array(keep)), 100.0),
+                ndigits=0,
+            ),
+            pa.int64(),
         )
+        t = pa.table({"n_name": pa.array(mapped, pa.string()), "cents": cents})
         return pa.TableGroupBy(t, ["n_name"]).aggregate(
-            [("o_totalprice", "sum"), ([], "count_all")]
+            [("cents", "sum"), ([], "count_all")]
         )
 
     partials = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby("n_name").aggregate(
-        Sum("o_totalprice_sum", alias_name="revenue"),
+        Sum("cents_sum", alias_name="revenue_cents"),
         Sum("count_all", alias_name="n_orders"),
     )
 
@@ -188,20 +212,23 @@ def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         keep, mapped = _lookup_take(batch.column("s_nationkey"), rnames, off, rvalid)
-        t = pa.table(
-            {
-                "r_name": pa.array(mapped, pa.string()),
-                "s_acctbal": batch.column("s_acctbal").take(pa.array(keep)),
-            }
+        # fixed-point before summation (order-free; see pricing_summary)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch.column("s_acctbal").take(pa.array(keep)), 100.0),
+                ndigits=0,
+            ),
+            pa.int64(),
         )
+        t = pa.table({"r_name": pa.array(mapped, pa.string()), "cents": cents})
         return pa.TableGroupBy(t, ["r_name"]).aggregate(
-            [("s_acctbal", "sum"), ([], "count_all")]
+            [("cents", "sum"), ([], "count_all")]
         )
 
     suppliers = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
     partials = suppliers.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby("r_name").aggregate(
-        Sum("s_acctbal_sum", alias_name="total_balance"),
+        Sum("cents_sum", alias_name="total_balance_cents"),
         Sum("count_all", alias_name="n_suppliers"),
     )
 

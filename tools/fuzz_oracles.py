@@ -102,7 +102,9 @@ def build_warehouse(out_dir: str, seed: int, n_docs: int = 400) -> None:
     users = nrng.randint(0, 40, size=n_ev)
     users[: n_ev // 4] = 7  # skewed hot user
     ts = [t0 + datetime.timedelta(seconds=int(x)) for x in np.sort(nrng.randint(0, 90_000, size=n_ev))]
-    vals = np.round(nrng.gamma(2.0, 8.0, size=n_ev), 2)
+    # 4-decimal money: off the cent grid, so rounding boundaries
+    # carry real probability mass (the order-sensitivity trap)
+    vals = np.round(nrng.gamma(2.0, 8.0, size=n_ev), 4)
     null_mask = nrng.rand(n_ev) < 0.07
     events = pa.table(
         {
@@ -195,8 +197,8 @@ def build_warehouse(out_dir: str, seed: int, n_docs: int = 400) -> None:
             "l_partkey": pa.array(nrng.randint(0, n_part, size=n_li), pa.int64()),
             "l_suppkey": pa.array(nrng.randint(0, n_supp, size=n_li), pa.int64()),
             "l_linenumber": pa.array((nrng.randint(1, 8, size=n_li)).astype(np.int32), pa.int32()),
-            "l_quantity": pa.array(np.round(nrng.rand(n_li) * 50, 2)),
-            "l_extendedprice": pa.array(np.round(nrng.rand(n_li) * 10_000, 2)),
+            "l_quantity": pa.array(np.round(nrng.rand(n_li) * 50, 3)),
+            "l_extendedprice": pa.array(np.round(nrng.rand(n_li) * 10_000, 3)),
             "l_discount": pa.array(np.round(nrng.rand(n_li) * 0.1, 2)),
             "l_tax": pa.array(np.round(nrng.rand(n_li) * 0.08, 2)),
             "l_returnflag": pa.array([rng.choice(["A", "N", "R"]) for _ in range(n_li)]),
