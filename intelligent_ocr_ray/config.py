@@ -60,8 +60,16 @@ class ExtractorConfig:
     lenient_layout: bool = False
 
     def fingerprint(self) -> str:
-        """Stable hash of the semantic knobs, for manifest invalidation."""
-        blob = json.dumps(dataclasses.asdict(self), sort_keys=True)
+        """Stable hash of the semantic knobs PLUS the output schema
+        version, for manifest invalidation: a code upgrade that widens
+        the committed span struct must not resume into a directory of
+        narrower structs (review r3)."""
+        from .schema import OUTPUT_SCHEMA_VERSION
+
+        blob = json.dumps(
+            dict(dataclasses.asdict(self), _schema_version=OUTPUT_SCHEMA_VERSION),
+            sort_keys=True,
+        )
         return hashlib.sha256(blob.encode("utf-8")).hexdigest()[:16]
 
 

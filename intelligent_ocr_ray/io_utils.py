@@ -33,3 +33,17 @@ def sized_read_parquet(
     n_rows = pq.read_metadata(path).num_rows
     blocks = max(min_blocks, math.ceil(n_rows / rows_per_block))
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+
+
+def money_units(col, scale: float = 100.0):
+    """Per-value fixed-point money: round half-even to integer units
+    (cents at scale=100, micros at 1e6) and cast int64. THE parity
+    discipline for every money aggregate: a float sum rounded at the
+    end is summation-order-sensitive across engines (and a 4-decimal
+    product sum sits exactly on a half-cent boundary with ~0.1
+    probability per group); integer sums are exact and order-free.
+    Oracle mirror: sum(CAST(round_even(col * scale, 0) AS BIGINT))."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.round(pc.multiply(col, scale), ndigits=0), pa.int64())

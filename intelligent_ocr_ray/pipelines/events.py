@@ -46,12 +46,12 @@ def hourly_rollup(sf_dir: str) -> rd.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
-        # money fixed-point per value before summation (order-free
-        # across engines; see pricing_summary) — null stays null, so an
-        # all-null window sums to NULL on both sides
-        cents = pc.cast(
-            pc.round(pc.multiply(batch.column("value"), 100.0), ndigits=0), pa.int64()
-        )
+        # money fixed-point per value before summation (io_utils
+        # .money_units discipline) — null stays null, so an all-null
+        # window sums to NULL on both sides
+        from ..io_utils import money_units
+
+        cents = money_units(batch.column("value"))
         t = pa.table(
             {"hour": hour, "event_type": batch.column("event_type"), "cents": cents}
         )
@@ -66,7 +66,15 @@ def hourly_rollup(sf_dir: str) -> rd.Dataset:
         Sum("cents_sum", alias_name="sum_value_cents"),
         Sum("count_all", alias_name="n_events"),
     )
-    return out
+    # pin the sum's type: when EVERY group is all-null Ray's aggregate
+    # emits a null-typed column that pandas renders as object(None) —
+    # the oracle side is float64(NaN); an explicit int64 cast keeps the
+    # null-ness while restoring a comparable dtype (review r3)
+    return out.map_batches(
+        _cast_column("sum_value_cents", pa.int64()),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def props_rollup(sf_dir: str) -> rd.Dataset:
@@ -87,10 +95,22 @@ def props_rollup(sf_dir: str) -> rd.Dataset:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby("event_type").aggregate(
+    agg = partials.groupby("event_type").aggregate(
         Sum("k_sum", alias_name="sum_k"),
         Sum("count_all", alias_name="n_events"),
     )
+    # see hourly_rollup: all-null sum columns need an explicit type
+    return agg.map_batches(
+        _cast_column("sum_k", pa.int64()), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _cast_column(name: str, typ: "pa.DataType"):
+    def f(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(name)
+        return t.set_column(i, name, t.column(name).cast(typ))
+
+    return f
 
 
 def _add_user_part(t: pa.Table, num_parts: int) -> pa.Table:
@@ -275,10 +295,9 @@ def sessionize(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
         # measurably flips at .5 boundaries between numpy's reduceat
         # order and DuckDB's scan order (caught by tools/fuzz_oracles).
         # null ≡ additive zero (≡ SQL sum's null-skip).
-        cents = pc.cast(
-            pc.round(pc.multiply(g.column("value").cast(pa.float64()), 100.0), ndigits=0),
-            pa.int64(),
-        )
+        from ..io_utils import money_units
+
+        cents = money_units(g.column("value").cast(pa.float64()))
         vals = np.asarray(pc.fill_null(cents, 0), dtype=np.int64)
         order = np.lexsort((eid, ts, user))
         user, ts, vals = user[order], ts[order], vals[order]

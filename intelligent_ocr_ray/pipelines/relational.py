@@ -59,8 +59,7 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def _units(col, scale: float):
-        return pc.cast(pc.round(pc.multiply(col, scale), ndigits=0), pa.int64())
+    from ..io_utils import money_units
 
     def partial(batch: pa.Table) -> pa.Table:
         disc_price = pc.multiply(
@@ -71,9 +70,9 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
-                "qty_cents": _units(batch.column("l_quantity"), 100.0),
-                "base_cents": _units(batch.column("l_extendedprice"), 100.0),
-                "disc_micros": _units(disc_price, 1_000_000.0),
+                "qty_cents": money_units(batch.column("l_quantity")),
+                "base_cents": money_units(batch.column("l_extendedprice")),
+                "disc_micros": money_units(disc_price, 1_000_000.0),
             }
         )
         return pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
@@ -149,14 +148,9 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         keep, mapped = _lookup_take(batch.column("c_nationkey"), names, off, nvalid)
-        # fixed-point before summation (order-free; see pricing_summary)
-        cents = pc.cast(
-            pc.round(
-                pc.multiply(batch.column("o_totalprice").take(pa.array(keep)), 100.0),
-                ndigits=0,
-            ),
-            pa.int64(),
-        )
+        from ..io_utils import money_units
+
+        cents = money_units(batch.column("o_totalprice").take(pa.array(keep)))
         t = pa.table({"n_name": pa.array(mapped, pa.string()), "cents": cents})
         return pa.TableGroupBy(t, ["n_name"]).aggregate(
             [("cents", "sum"), ([], "count_all")]
@@ -212,14 +206,9 @@ def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         keep, mapped = _lookup_take(batch.column("s_nationkey"), rnames, off, rvalid)
-        # fixed-point before summation (order-free; see pricing_summary)
-        cents = pc.cast(
-            pc.round(
-                pc.multiply(batch.column("s_acctbal").take(pa.array(keep)), 100.0),
-                ndigits=0,
-            ),
-            pa.int64(),
-        )
+        from ..io_utils import money_units
+
+        cents = money_units(batch.column("s_acctbal").take(pa.array(keep)))
         t = pa.table({"r_name": pa.array(mapped, pa.string()), "cents": cents})
         return pa.TableGroupBy(t, ["r_name"]).aggregate(
             [("cents", "sum"), ([], "count_all")]

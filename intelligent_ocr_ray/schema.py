@@ -20,6 +20,12 @@ TRANSCRIPT_SCHEMA = pa.schema(
     ]
 )
 
+# Bumped whenever the committed OUTPUT schema changes shape (e.g. the
+# M12 font_size span field): folded into the config fingerprint so a
+# resume against partitions committed by an older schema INVALIDATES
+# instead of mixing struct widths in one output directory.
+OUTPUT_SCHEMA_VERSION = 2
+
 SPAN_TYPE = pa.struct(
     [
         pa.field("span_idx", pa.int32()),

@@ -344,3 +344,36 @@ def test_group_quantiles_matches_quantile_disc():
         """
     ).df()
     assert got[want.columns.tolist()].equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_all_null_groups_keep_comparable_dtypes(tmp_path):
+    """A group whose every value is null must come back as a typed null
+    (pandas float64 NaN — the oracle side's dtype), not an object-dtype
+    Python None: Ray's aggregate emits a null-typed column when the
+    whole column is null, which the explicit int64 result cast pins
+    (review r3)."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from intelligent_ocr_ray.pipelines.events import hourly_rollup, props_rollup
+
+    t0 = datetime.datetime(2025, 1, 1)
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([t0, t0], pa.timestamp("us")),
+            "user_id": pa.array([1, 2], pa.int64()),
+            "event_type": pa.array(["view", "view"]),
+            "value": pa.array([None, None], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    h = hourly_rollup(str(tmp_path)).to_pandas()
+    p = props_rollup(str(tmp_path)).to_pandas()
+    assert h["sum_value_cents"].dtype.kind == "f" and h["sum_value_cents"].isna().all()
+    assert p["sum_k"].dtype.kind == "f" and p["sum_k"].isna().all()
+    assert list(h["n_events"]) == [2] and list(p["n_events"]) == [2]

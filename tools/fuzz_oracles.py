@@ -102,6 +102,7 @@ def build_warehouse(out_dir: str, seed: int, n_docs: int = 400) -> None:
     users = nrng.randint(0, 40, size=n_ev)
     users[: n_ev // 4] = 7  # skewed hot user
     ts = [t0 + datetime.timedelta(seconds=int(x)) for x in np.sort(nrng.randint(0, 90_000, size=n_ev))]
+    etypes = [rng.choice(["view", "click", "purchase", "signup", "error", "heartbeat"]) for _ in range(n_ev)]
     # 4-decimal money: off the cent grid, so rounding boundaries
     # carry real probability mass (the order-sensitivity trap)
     vals = np.round(nrng.gamma(2.0, 8.0, size=n_ev), 4)
@@ -111,16 +112,19 @@ def build_warehouse(out_dir: str, seed: int, n_docs: int = 400) -> None:
             "event_id": pa.array(range(n_ev), pa.int64()),
             "ts": pa.array(ts, pa.timestamp("us")),
             "user_id": pa.array(users, pa.int64()),
-            "event_type": pa.array(
-                [rng.choice(["view", "click", "purchase", "signup", "error"]) for _ in range(n_ev)]
-            ),
+            "event_type": pa.array(etypes),
+            # 'heartbeat' events: value always NULL and props never
+            # carry k — an ALL-NULL aggregate group on every rollup
             "value": pa.array(
-                [None if m else float(v) for m, v in zip(null_mask, vals)], pa.float64()
+                [None if (m or e == "heartbeat") else float(v)
+                 for m, v, e in zip(null_mask, vals, etypes)],
+                pa.float64(),
             ),
             "props": pa.array(
                 [
-                    rng.choice(['{"k": 3}', '{"k": 17}', "{}", '{"other": 1}'])
-                    for _ in range(n_ev)
+                    "{}" if e == "heartbeat"
+                    else rng.choice(['{"k": 3}', '{"k": 17}', "{}", '{"other": 1}'])
+                    for e in etypes
                 ]
             ),
         }
