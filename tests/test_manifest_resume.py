@@ -335,3 +335,53 @@ def test_suggest_layout_scales_with_rows(tmp_path):
                                      min_parts=1, min_blocks=1)
     n = pq.read_metadata(os.path.join(src, "d.parquet")).num_rows
     assert parts2 == -(-n // 100) and blocks2 == -(-n // 100)
+
+
+def test_sigkill_mid_run_then_resume(tmp_path):
+    """Crash-resume end-to-end with a REAL kill: a CLI run is SIGKILLed
+    after its first partition commits; the rerun completes, the audit
+    passes, and the partitions committed by the killed run are NOT
+    reprocessed (the resume anti-join actually skipped them)."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from intelligent_ocr_ray.sources.transcripts import generate_transcripts
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    pq.write_table(generate_transcripts(120, seed=11), os.path.join(src, "d.parquet"))
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    cmd = [sys.executable, "-m", "intelligent_ocr_ray", "--num-cpus", "2",
+           "run", "--input", src, "--out", out, "--num-parts", "12", "--progress"]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True, env=env, cwd=repo)
+    # wait for the first streamed commit, then kill hard
+    deadline = _time.time() + 240
+    saw = 0
+    for line in proc.stdout:
+        if line.startswith("{") and json.loads(line).get("event") == "partition_done":
+            saw += 1
+            if saw >= 2:
+                break
+        if _time.time() > deadline:
+            break
+    proc.send_signal(signal.SIGKILL)
+    proc.wait(timeout=60)
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    done_before = set(man["done"])
+    assert 0 < len(done_before) < 12  # genuinely partial
+
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=repo,
+                         timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [json.loads(l) for l in res.stdout.splitlines() if l.startswith("{")]
+    assert lines[-1]["complete"] is True
+    redone = {str(e["partition"]) for e in lines if e.get("event") == "partition_done"}
+    assert redone.isdisjoint(done_before)  # committed work never repeats
+    assert len(redone) == 12 - len(done_before)
