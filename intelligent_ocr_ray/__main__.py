@@ -33,9 +33,10 @@ def cmd_run(args) -> int:
     if not ok:
         print(f"invalid input: {msg}", file=sys.stderr)
         return 2
+    read_blocks = None
     if args.num_parts is None:
         # size the layout from the input, not the CPU count
-        args.num_parts, _ = suggest_layout(args.input)
+        args.num_parts, read_blocks = suggest_layout(args.input)
     ray = _ray_init(args.num_cpus)
     progress_cb = None
     if args.progress:
@@ -54,6 +55,7 @@ def cmd_run(args) -> int:
             progress_callback=progress_cb,
             fuse_extract=args.fuse,
             salt_turns=args.salt_turns,
+            read_num_blocks=read_blocks,
         )
         complete, n_in, n_out = audit_completeness(args.input, manifest)
         print(
@@ -177,14 +179,16 @@ def cmd_drain(args) -> int:
             job_id, spec = claimed
             try:
                 num_parts = spec.get("num_parts")
+                read_blocks = None
                 if num_parts is None:
                     # same data-proportional sizing as `run` (a fixed
                     # default reproduces the chunky-task superlinearity
                     # suggest_layout exists to prevent)
-                    num_parts, _ = suggest_layout(spec["input"])
+                    num_parts, read_blocks = suggest_layout(spec["input"])
                 manifest = run_resumable(
                     spec["input"], spec["out"], DEFAULT_CONFIG,
                     num_parts=int(num_parts),
+                    read_num_blocks=read_blocks,
                 )
                 complete, n_in, n_out = audit_completeness(spec["input"], manifest)
                 finish_job(
