@@ -19,6 +19,9 @@ from ..stages.extractor import ExtractTurns
 from .ordering import sort_stable
 
 INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool"]
+# columns validate_transcripts requires; the rest (tool) are optional
+# provenance that rides along when present
+REQUIRED_COLUMNS = ("conv_id", "turn_idx", "role", "text")
 
 
 def auto_concurrency(reserve: int = 2) -> int:
@@ -34,8 +37,17 @@ def auto_concurrency(reserve: int = 2) -> int:
 
 def read_transcripts(path: str, num_blocks: int | None = None) -> rd.Dataset:
     """Column-pruned read: only the columns the extractor needs leave
-    storage (`tool`/`ts` stay behind unless a caller asks)."""
-    return rd.read_parquet(path, columns=INPUT_COLUMNS, override_num_blocks=num_blocks)
+    storage (`ts` always stays behind; `tool` rides along only when the
+    input HAS it — an input that passes validate_transcripts' 4-column
+    contract must not crash the read because optional provenance is
+    absent)."""
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import list_parquet_files
+
+    avail = set(pq.read_schema(list_parquet_files(path)[0]).names)
+    cols = [c for c in INPUT_COLUMNS if c in avail or c in REQUIRED_COLUMNS]
+    return rd.read_parquet(path, columns=cols, override_num_blocks=num_blocks)
 
 
 def _sort_block_count(path: str) -> int:

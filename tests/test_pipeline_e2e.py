@@ -82,3 +82,33 @@ def test_ordering_is_stable():
     got = _run_pipeline(table)
     keys = list(zip(got.column("conv_id").to_pylist(), got.column("turn_idx").to_pylist()))
     assert keys == sorted(keys)
+
+
+def test_input_without_optional_tool_column(tmp_path):
+    """An input that satisfies validate_transcripts' 4-column contract
+    but lacks the optional `tool` provenance must run end-to-end (the
+    read prunes to available columns instead of demanding them)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from intelligent_ocr_ray.pipelines.resumable import audit_completeness, run_resumable
+    from intelligent_ocr_ray.state.manifest import validate_transcripts
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "b"]),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": pa.array(["user", "assistant", "user"]),
+            "text": pa.array(["hello world", None, "x" * 60]),
+        }
+    )
+    pq.write_table(t, os.path.join(src, "d.parquet"))
+    ok, _ = validate_transcripts(src)
+    assert ok
+    m = run_resumable(src, str(tmp_path / "out"), num_parts=2, fuse_extract=True)
+    complete, n_in, n_out = audit_completeness(src, m)
+    assert complete and n_in == n_out == 3
