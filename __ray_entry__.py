@@ -169,6 +169,16 @@ def _q_dataset_split(sf_dir: str):
     return dataset_split(sf_dir)
 
 
+def _q_lang_rebalance(sf_dir: str):
+    """Corpus rebalancing: deterministic per-language downsampling (cap
+    'en' at 25%, 'cjk' at 50%, keep the rest) by the same Lehmer id
+    hash as sample_docs — the pretraining language-mix step, stable
+    under any partitioning and replayed exactly by the oracle CASE."""
+    from intelligent_ocr_ray.stages.sampling import rebalance_corpus
+
+    return rebalance_corpus(sf_dir)
+
+
 def _q_exact_dedup(sf_dir: str):
     """Exact dedup: keep the min-doc_id representative per identical
     text, keyed by a per-batch md5 content hash so the groupby shuffle
@@ -533,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_ngram": _q_lang_id_ngram,
         "sample_docs": _q_sample_docs,
         "dataset_split": _q_dataset_split,
+        "lang_rebalance": _q_lang_rebalance,
         "exact_dedup": _q_exact_dedup,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "events_hourly": _q_events_hourly,
@@ -892,12 +903,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_docs": """
             SELECT doc_id, lang FROM documents
-            WHERE ((doc_id * 48271) % 2147483647) % 100 < 10
+            WHERE ((((doc_id * 48271) % 2147483647) * 48271) % 2147483647) % 100 < 10
+        """,
+        "lang_rebalance": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ((((doc_id * 48271) % 2147483647) * 48271) % 2147483647) % 100 <
+                  CASE lang WHEN 'en' THEN 25 WHEN 'cjk' THEN 50 ELSE 100 END
         """,
         "dataset_split": """
             SELECT doc_id,
-                   CASE WHEN ((doc_id * 48271) % 2147483647) % 100 < 80 THEN 'train'
-                        WHEN ((doc_id * 48271) % 2147483647) % 100 < 90 THEN 'valid'
+                   CASE WHEN ((((doc_id * 48271) % 2147483647) * 48271) % 2147483647) % 100 < 80 THEN 'train'
+                        WHEN ((((doc_id * 48271) % 2147483647) * 48271) % 2147483647) % 100 < 90 THEN 'valid'
                         ELSE 'test' END AS split
             FROM documents
         """,

@@ -5,10 +5,15 @@ and train/valid/test assignment that is a pure function of the row key
 (stable under re-runs, resumes, and repartitioning — unlike
 ds.random_sample, whose output depends on execution layout).
 
-The hash is a Lehmer-style multiplicative congruence over int64 —
+The hash is TWO Lehmer multiplicative-congruence steps over int64 —
 chosen so the DuckDB oracle can run the IDENTICAL integer arithmetic
-(`(id * 48271) % 2147483647`): products stay under 2^63 for any id
-below ~9.5e13, so both engines compute exact, overflow-free results.
+(`((id*48271 % M) * 48271) % M`, M = 2^31-1): every product stays under
+2^63, so both engines compute exact, overflow-free results. Two steps,
+not one: a single step is monotone for small ids and maps STRIDED id
+sets (e.g. ids ≡ 0 mod 4 — exactly what interleaved group assignment
+produces) onto coarse residue classes of the bucket modulus, which
+biased per-group rates by several points (caught by the rebalance
+test; sample_matrix hit the same aliasing in round 2).
 """
 
 from __future__ import annotations
@@ -23,7 +28,8 @@ _LEHMER_M = 2147483647  # 2^31 - 1
 
 def _bucket(ids: pa.ChunkedArray | pa.Array, buckets: int = 100) -> np.ndarray:
     v = np.asarray(pc.cast(ids, pa.int64()))
-    return ((v * _LEHMER_A) % _LEHMER_M) % buckets
+    h = (v * _LEHMER_A) % _LEHMER_M
+    return ((h * _LEHMER_A) % _LEHMER_M) % buckets
 
 
 def sample_batch(batch: pa.Table, rate_pct: int, id_col: str = "doc_id") -> pa.Table:
@@ -67,3 +73,46 @@ def dataset_split(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     return ds.map_batches(split_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rebalance_batch(
+    batch: pa.Table,
+    rates: dict[str, int],
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pct: int = 100,
+) -> pa.Table:
+    """Per-group deterministic downsampling — the corpus REBALANCING
+    step of a pretraining pipeline (e.g. cap the dominant language at
+    N%, keep the rest whole): a row survives iff its id-hash bucket is
+    below its group's rate. Pure function of (id, group) → stable under
+    re-runs and any partitioning, and expressible verbatim in the
+    oracle's CASE over the same Lehmer arithmetic."""
+    b = _bucket(batch.column(id_col))
+    groups = np.asarray(batch.column(group_col), dtype=object)
+    thresh = np.full(len(groups), default_pct, dtype=np.int64)
+    for g, pct in rates.items():
+        thresh[groups == g] = pct
+    return batch.filter(pa.array(b < thresh))
+
+
+def rebalance_corpus(sf_dir: str, rates: dict[str, int] | None = None):
+    """documents rebalanced per language (default: cap 'en' at 25%,
+    'cjk' at 50%, keep the rest)."""
+    import functools
+
+    import os
+
+    import ray.data as rd
+
+    if rates is None:
+        rates = {"en": 25, "cjk": 50}
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
+    )
+    return ds.map_batches(
+        functools.partial(rebalance_batch, rates=rates),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -63,3 +63,28 @@ def test_kmv_distinct_accuracy_and_exact_branch():
     for g, n in (("mid", 500), ("big", 5000)):
         rel = abs(got[g] - n) / n
         assert rel < 0.4, (g, got[g], rel)  # ~3σ at k=64 (σ ≈ 12.7%)
+
+
+def test_rebalance_rates_and_determinism():
+    """Per-group rates actually bite (~rate% per group), unlisted groups
+    keep default 100%, and the assignment is layout-independent."""
+    import numpy as np
+
+    from intelligent_ocr_ray.stages.sampling import rebalance_batch
+
+    n = 20_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(["en", "de", "cjk", "fr"] * (n // 4)),
+        }
+    )
+    out = rebalance_batch(t, {"en": 25, "cjk": 50})
+    langs = np.asarray(out.column("lang"), dtype=object)
+    per = {g: int((langs == g).sum()) / (n // 4) for g in ("en", "de", "cjk", "fr")}
+    assert abs(per["en"] - 0.25) < 0.03 and abs(per["cjk"] - 0.5) < 0.03
+    assert per["de"] == per["fr"] == 1.0
+    # layout independence: chunked/sliced input keeps the identical set
+    a = rebalance_batch(t.slice(0, n // 2), {"en": 25, "cjk": 50})
+    b = rebalance_batch(t.slice(n // 2), {"en": 25, "cjk": 50})
+    assert pa.concat_tables([a, b]).column("doc_id").to_pylist() == out.column("doc_id").to_pylist()
