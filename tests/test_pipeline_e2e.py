@@ -112,3 +112,29 @@ def test_input_without_optional_tool_column(tmp_path):
     m = run_resumable(src, str(tmp_path / "out"), num_parts=2, fuse_extract=True)
     complete, n_in, n_out = audit_completeness(src, m)
     assert complete and n_in == n_out == 3
+
+
+def test_two_runs_byte_identical(tmp_path):
+    """Determinism end-to-end: two independent fused runs over the same
+    input produce BYTE-identical ordered outputs (the property the
+    exact-match oracle and resumability both rest on)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from intelligent_ocr_ray.pipelines.resumable import read_output, run_resumable
+    from intelligent_ocr_ray.sources.transcripts import write_transcripts
+
+    src = write_transcripts(str(tmp_path / "in"), 60, seed=17)
+
+    def run_and_hash(out: str) -> str:
+        run_resumable(src, out, num_parts=4, fuse_extract=True)
+        t = read_output(out).sort(["conv_id", "turn_idx"]).to_pandas()
+        return hashlib.sha256(
+            t.to_csv(index=False).encode("utf-8", "surrogatepass")
+        ).hexdigest()
+
+    h1 = run_and_hash(str(tmp_path / "o1"))
+    h2 = run_and_hash(str(tmp_path / "o2"))
+    assert h1 == h2
