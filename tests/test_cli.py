@@ -120,3 +120,34 @@ def test_submit_drain_watch_roundtrip(tmp_path):
     first_filler = list_jobs(q, "queued")[0]
     jid, _ = claim_next_job(q)
     assert jid == first_filler
+
+
+def test_jobqueue_reclaim_and_idempotent_finish(tmp_path):
+    """Worker-death recovery (no Ray needed): a claimed-but-unfinished
+    job is requeued by reclaim and claimable again; finish_job is
+    idempotent — a second finish (crash-retry path) is a no-op and a
+    job never occupies two terminal states."""
+    from intelligent_ocr_ray.state.jobqueue import (
+        claim_next_job,
+        finish_job,
+        job_status,
+        list_jobs,
+        requeue_running,
+        submit_job,
+    )
+
+    q = str(tmp_path / "q")
+    jid = submit_job(q, {"input": "i", "out": "o"})
+    got, _ = claim_next_job(q)
+    assert got == jid and job_status(q, jid)["state"] == "running"
+    # dead worker: reclaim moves it back; it is claimable again
+    assert requeue_running(q) == [jid]
+    assert job_status(q, jid)["state"] == "queued"
+    got2, _ = claim_next_job(q)
+    assert got2 == jid
+    finish_job(q, jid, True, {"complete": True})
+    assert job_status(q, jid)["state"] == "done"
+    # crash-retry double finish: no-op, no second terminal copy
+    finish_job(q, jid, False, {"error": "late duplicate"})
+    assert job_status(q, jid)["state"] == "done"
+    assert list_jobs(q, "failed") == [] and list_jobs(q, "running") == []
