@@ -45,7 +45,15 @@ def read_transcripts(path: str, num_blocks: int | None = None) -> rd.Dataset:
 
     from ..state.manifest import list_parquet_files
 
-    avail = set(pq.read_schema(list_parquet_files(path)[0]).names)
+    files = list_parquet_files(path)
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    # intersect across ALL files (footer reads only): a mixed input
+    # where some shards carry `tool` and some don't must neither crash
+    # mid-read nor depend on directory listing order
+    avail = set(pq.read_schema(files[0]).names)
+    for f in files[1:]:
+        avail &= set(pq.read_schema(f).names)
     cols = [c for c in INPUT_COLUMNS if c in avail or c in REQUIRED_COLUMNS]
     return rd.read_parquet(path, columns=cols, override_num_blocks=num_blocks)
 

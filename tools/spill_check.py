@@ -22,7 +22,7 @@ def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000  # ~0.8M turns
     import ray
 
-    ray.init(
+    ctx = ray.init(
         address="local",
         num_cpus=8,
         object_store_memory=200 * 1024 * 1024,  # ~200 MB — far below the working set
@@ -48,8 +48,10 @@ def main() -> None:
     )
     ok, n_in, n_out = audit_completeness(src, manifest)
 
-    # spill evidence from the live session's raylet log
-    session = os.path.realpath("/tmp/ray/ray/session_latest")
+    # spill evidence from THIS session's raylet log (the session dir
+    # comes from the init context — a hardcoded /tmp path only works
+    # where RAY_TMPDIR happens to point there)
+    session = ctx.address_info.get("session_dir", "")
     spilled_mb = 0
     for logf in glob.glob(os.path.join(session, "logs", "raylet.out")):
         for line in open(logf, errors="ignore"):
