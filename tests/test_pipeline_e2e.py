@@ -138,3 +138,36 @@ def test_two_runs_byte_identical(tmp_path):
     h1 = run_and_hash(str(tmp_path / "o1"))
     h2 = run_and_hash(str(tmp_path / "o2"))
     assert h1 == h2
+
+
+def test_mixed_shard_schemas_tool_in_some_files(tmp_path):
+    """Shards disagreeing on the OPTIONAL tool column (some carry it,
+    some don't) run end-to-end: the read intersects schemas across all
+    files, so neither listing order nor per-file presence matters."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from intelligent_ocr_ray.pipelines.resumable import audit_completeness, run_resumable
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with_tool = pa.table(
+        {
+            "conv_id": pa.array(["a", "a"]),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant"]),
+            "text": pa.array(["hello there", "y" * 70]),
+            "tool": pa.array(["", "search"]),
+        }
+    )
+    without_tool = with_tool.drop_columns(["tool"]).set_column(
+        0, "conv_id", pa.array(["b", "b"])
+    )
+    # both orders on disk (listing is sorted by name)
+    pq.write_table(with_tool, os.path.join(src, "a_with.parquet"))
+    pq.write_table(without_tool, os.path.join(src, "b_without.parquet"))
+    m = run_resumable(src, str(tmp_path / "out"), num_parts=2, fuse_extract=True)
+    ok, n_in, n_out = audit_completeness(src, m)
+    assert ok and n_in == n_out == 4
