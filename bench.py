@@ -152,12 +152,16 @@ def run_bench() -> dict:
     for name in (
         "events_hourly",
         "events_sessions",
+        "events_quantiles",
         "pricing_summary",
         "exact_dedup",
         "minhash_dups",
         "ngram_jaccard_dups",
         "embedding_neardup",
         "ann_topk",
+        "decontaminate",
+        "top_docs_per_lang",
+        "lang_rebalance",
     ):
         if name not in qs or headline_only:
             continue
