@@ -220,3 +220,26 @@ def test_watchdog_heartbeat_tolerates_slow_healthy_phase(tmp_path):
     assert ok
     # nothing degraded: the healthy strict pass finished every partition
     assert all("profile" not in v for v in man.done.values())
+
+
+def test_salted_degraded_rerun_composes(tmp_path):
+    """Skew salting and the degraded-rerun ladder compose: a SALTED run
+    (custom extract_fn → staged path; the fused+salted pairing is
+    covered in test_manifest_resume) whose strict profile poisons on a
+    marker payload is recovered by the degraded ladder, with a clean
+    completeness audit under the salted partition keys."""
+    src = _write_input(tmp_path)  # includes the POISONPART marker rows
+    out = str(tmp_path / "out")
+    man = run_resumable(
+        src, out, CFG, num_parts=8, concurrency=2,
+        extract_fn=_boom_extract, degraded_rerun=True,
+        salt_turns=16, fuse_extract=False,
+    )
+    assert man.is_complete()
+    ok, rin, rout = audit_completeness(src, man)
+    assert ok and rin == rout
+    # degraded lineage present (strict pass died at the map stage)
+    assert all(v.get("profile", "").startswith("degraded[0]") for v in man.done.values())
+    # the marker conversation's rows survived via fallback copy
+    t = read_output(out)
+    assert t.filter(expr="conv_id == 'conv000003'").count() > 0
