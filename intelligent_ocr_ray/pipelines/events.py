@@ -145,7 +145,7 @@ def asof_view_before_click(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
         # ts views sort event_id ascending, so the fill carries the
         # max-event_id tie winner. No composite-key bit packing → no
         # time-span/user-range limits.
-        ts = np.asarray(g.column("ts").cast(pa.int64()))  # µs since epoch
+        ts = np.asarray(g.column("ts").cast(pa.timestamp("us")).cast(pa.int64()))  # normalize to µs regardless of stored unit (ADVICE r3)
         user = np.asarray(g.column("user_id"), dtype=np.int64)
         eid = np.asarray(g.column("event_id"), dtype=np.int64)
         is_click = np.asarray(pc.equal(g.column("event_type"), "click")).astype(np.int8)
@@ -286,7 +286,7 @@ def sessionize(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
         )
         if n == 0:
             return empty
-        ts = np.asarray(g.column("ts").cast(pa.int64()))  # µs since epoch
+        ts = np.asarray(g.column("ts").cast(pa.timestamp("us")).cast(pa.int64()))  # normalize to µs regardless of stored unit (ADVICE r3)
         user = np.asarray(g.column("user_id"), dtype=np.int64)
         eid = np.asarray(g.column("event_id"), dtype=np.int64)
         # money sums in integer CENTS, rounded per value BEFORE summing

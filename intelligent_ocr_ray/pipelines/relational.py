@@ -180,9 +180,12 @@ def top_parts_by_size(sf_dir: str, k: int = 10) -> rd.Dataset:
         return topk(t.filter(pc.greater_equal(t.column("p_size"), 25)))
 
     partials = parts.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    # single-block merge of the ≤ k-per-block partials (narrow move)
+    # single-block merge of the ≤ k-per-block partials (narrow move);
+    # batch_size=None pins whole-block batching so the merge sees ALL
+    # candidates in one call — a fixed default batch row-count would
+    # silently emit k rows per SLICE instead of k total (ADVICE r3)
     return partials.repartition(1).map_batches(
-        topk, batch_format="pyarrow", zero_copy_batch=True
+        topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 

@@ -91,14 +91,38 @@ def claim_next_job(queue_dir: str) -> tuple[str, dict] | None:
     return None
 
 
+def _terminal_path(queue_dir: str, job_id: str) -> str | None:
+    """Path of the job's done/ or failed/ copy, if one exists."""
+    for state in ("done", "failed"):
+        p = os.path.join(_state_dir(queue_dir, state), f"{job_id}.json")
+        if os.path.isfile(p):
+            return p
+    return None
+
+
 def finish_job(queue_dir: str, job_id: str, ok: bool, result: dict) -> None:
     """running/ → done/ (or failed/) with the result merged in.
-    Idempotent: if the job already left running/ (a previous finish got
-    through the replace but died before the unlink, or a second caller
-    races), this is a no-op — a job never lands in two terminal states."""
+
+    Publish order is terminal-copy FIRST, running-unlink LAST: a crash
+    between the two steps then leaves the job visible in BOTH states
+    for a moment, which is safe because every reader resolves the race
+    terminal-wins (``requeue_running`` retires — never requeues — a
+    running copy that has a terminal twin; ``job_status`` scans
+    done/failed before running would matter for display only). The
+    previous unlink-first order could LOSE the job outright: a crash
+    after the unlink left it in no state dir at all, invisible to
+    requeue (ADVICE r3). Idempotent: the first finish wins — if a
+    terminal copy already exists, this call only retires the stale
+    running copy."""
     src = os.path.join(_state_dir(queue_dir, "running"), f"{job_id}.json")
+    if _terminal_path(queue_dir, job_id) is not None:
+        try:
+            os.unlink(src)  # retire a stale running copy, keep the result
+        except FileNotFoundError:
+            pass
+        return
     if not os.path.isfile(src):
-        return  # already finished (or never claimed) — nothing to move
+        return  # never claimed — nothing to move
     with open(src, encoding="utf-8") as f:
         body = json.load(f)
     body.update(result, finished_at=time.time())
@@ -106,11 +130,11 @@ def finish_job(queue_dir: str, job_id: str, ok: bool, result: dict) -> None:
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(body, f)
     dst_state = "done" if ok else "failed"
-    # unlink BEFORE publishing the terminal copy: a crash between the
-    # two steps then leaves the job claimable-by-requeue (safe — runs
-    # are resumable/idempotent) instead of present in two states
-    os.unlink(src)
     os.replace(tmp, os.path.join(_state_dir(queue_dir, dst_state), f"{job_id}.json"))
+    try:
+        os.unlink(src)
+    except FileNotFoundError:
+        pass  # racing finisher already retired it — terminal copy stands
 
 
 def requeue_running(queue_dir: str) -> list[str]:
@@ -118,17 +142,33 @@ def requeue_running(queue_dir: str) -> list[str]:
     jobs stranded by a worker that died mid-run (the reference's task
     store ages out stuck PROCESSING tasks the same way). Safe because
     runs are resumable: a reclaimed job re-runs only its pending
-    partitions. Only call when no live worker owns the queue."""
+    partitions. Terminal-wins: a running copy whose job already has a
+    done/failed twin (finish_job crashed between publish and unlink) is
+    retired, not requeued. Only call when no live worker owns the
+    queue; orphaned finish tmp files are swept here under the same
+    no-live-worker precondition."""
     ensure_queue(queue_dir)
     moved = []
     for job_id in list_jobs(queue_dir, "running"):
         src = os.path.join(_state_dir(queue_dir, "running"), f"{job_id}.json")
+        if _terminal_path(queue_dir, job_id) is not None:
+            try:
+                os.unlink(src)
+            except FileNotFoundError:
+                pass
+            continue
         dst = os.path.join(_state_dir(queue_dir, "queued"), f"{job_id}.json")
         try:
             os.rename(src, dst)
             moved.append(job_id)
         except OSError:
             continue
+    for name in os.listdir(queue_dir):
+        if name.startswith("_tmp-") and name.endswith(".json"):
+            try:
+                os.unlink(os.path.join(queue_dir, name))
+            except FileNotFoundError:
+                pass
     return moved
 
 

@@ -151,3 +151,55 @@ def test_jobqueue_reclaim_and_idempotent_finish(tmp_path):
     finish_job(q, jid, False, {"error": "late duplicate"})
     assert job_status(q, jid)["state"] == "done"
     assert list_jobs(q, "failed") == [] and list_jobs(q, "running") == []
+
+
+def test_jobqueue_finish_crash_windows_never_lose_the_job(tmp_path):
+    """ADVICE r3: finish_job publishes the terminal copy FIRST and
+    retires running/ LAST, so every crash window leaves the job in at
+    least one state dir. Simulated crash after publish-before-unlink:
+    the job shows done AND running; requeue resolves terminal-wins
+    (retires the stale running copy, does NOT requeue); a late finish
+    retry also resolves it without overwriting the first result."""
+    import json
+    import os
+
+    from intelligent_ocr_ray.state.jobqueue import (
+        claim_next_job,
+        finish_job,
+        job_status,
+        list_jobs,
+        requeue_running,
+        submit_job,
+    )
+
+    q = str(tmp_path / "q")
+    jid = submit_job(q, {"input": "i", "out": "o"})
+    claim_next_job(q)
+    # crash window: terminal copy published, running copy not yet gone
+    run_path = os.path.join(q, "running", f"{jid}.json")
+    with open(run_path, encoding="utf-8") as f:
+        body = json.load(f)
+    with open(os.path.join(q, "done", f"{jid}.json"), "w", encoding="utf-8") as f:
+        json.dump(dict(body, complete=True, rows_out=7), f)
+    # orphaned finish tmp from the same crash
+    with open(os.path.join(q, f"_tmp-fin-{jid}.json"), "w", encoding="utf-8") as f:
+        json.dump(body, f)
+    assert list_jobs(q, "running") == [jid] and list_jobs(q, "done") == [jid]
+    # a finish retry resolves terminal-wins and keeps the first result
+    finish_job(q, jid, False, {"error": "retry after crash"})
+    assert list_jobs(q, "running") == [] and list_jobs(q, "failed") == []
+    st = job_status(q, jid)
+    assert st["state"] == "done" and st["rows_out"] == 7
+
+    # same window, resolved by requeue instead: retire, don't requeue
+    jid2 = submit_job(q, {"input": "i2", "out": "o2"})
+    claim_next_job(q)
+    with open(os.path.join(q, "running", f"{jid2}.json"), encoding="utf-8") as f:
+        body2 = json.load(f)
+    with open(os.path.join(q, "failed", f"{jid2}.json"), "w", encoding="utf-8") as f:
+        json.dump(dict(body2, error="boom"), f)
+    assert requeue_running(q) == []
+    assert list_jobs(q, "queued") == [] and list_jobs(q, "running") == []
+    assert job_status(q, jid2)["state"] == "failed"
+    # the orphan tmp file was swept by requeue (no-live-worker path)
+    assert not [f for f in os.listdir(q) if f.startswith("_tmp-")]
