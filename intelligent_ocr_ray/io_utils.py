@@ -35,6 +35,32 @@ def sized_read_parquet(
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
+def drop_empty_blocks(ds, empty: "object"):
+    """Strip zero-row blocks from a (small, already-aggregated) dataset.
+
+    Ray's hash-aggregate finalize emits ZERO-COLUMN empty blocks for
+    hash partitions that received no rows; pyarrow acero then rejects
+    the whole join partition ("No match ... for key field reference")
+    when such a block lands on the far side of a later equi-join. This
+    guard materializes the dataset (a barrier — callers are groupby
+    outputs that are small by construction), drops empty blocks by
+    METADATA only (no block is pulled to the driver), and re-wraps the
+    survivors zero-copy. ``empty`` is a pyarrow.Table carrying the
+    correct zero-row schema, returned when every block was empty so the
+    downstream join still sees the right columns."""
+    import ray.data as rd
+
+    refs = [
+        ref
+        for bundle in ds.materialize().iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+    if not refs:
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(refs)
+
+
 def money_units(col, scale: float = 100.0):
     """Per-value fixed-point money: round half-even to integer units
     (cents at scale=100, micros at 1e6) and cast int64. THE parity

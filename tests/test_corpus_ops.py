@@ -197,3 +197,73 @@ def test_top_docs_per_group_matches_window_oracle():
         """
     ).df()
     assert got.astype(str).equals(want[got.columns].astype(str))
+
+
+def test_decontaminate_join_path_equals_broadcast_path():
+    """VERDICT r3 #5: forcing broadcast_limit=0 routes through the
+    distributed hash-join membership test; output (rows AND counts,
+    both annotate modes) is identical to the broadcast path."""
+    from intelligent_ocr_ray.stages.corpus import decontaminate
+
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    for annotate in (False, True):
+        a = {
+            r["doc_id"]: r["n_overlap"]
+            for r in decontaminate(ds, annotate=annotate).take_all()
+        }
+        b = {
+            r["doc_id"]: r["n_overlap"]
+            for r in decontaminate(
+                ds, annotate=annotate, broadcast_limit=0
+            ).take_all()
+        }
+        assert a == b and len(b) > 0
+
+
+def test_vectorized_gram_hashing_parity_on_edge_texts():
+    """The batch-level gram/token hash producers are bit-identical to
+    their scalar reference twins on edge inputs (nulls, blanks, tabs,
+    unicode, dup-heavy, < n tokens)."""
+    from intelligent_ocr_ray.stages.dedup import (
+        MinHashLSH,
+        SimHash,
+        _distinct_gram_rows,
+        simhash64,
+        word_ngrams,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        None,
+        "",
+        "   \t\n ",
+        "one two",
+        "a b c a b c a b c",
+        "tab\tsep\ttokens and\nnewlines  double  spaces",
+        "unicode héllo wörld ünïcode grams test five tokens",
+        "dup dup dup dup dup dup",
+    ]
+    batch = _tbl(texts)
+    rows, grams, starts = _distinct_gram_rows(batch.column("text"), 3)
+    got = {
+        int(rows[starts[k]]): set(
+            grams.slice(starts[k], starts[k + 1] - starts[k]).to_pylist()
+        )
+        for k in range(len(starts) - 1)
+    }
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == word_ngrams(t or "", 3)
+
+    mh = MinHashLSH()
+    out = mh(batch)
+    doc_col = np.asarray(out.column("doc_id"))
+    sigs = np.asarray(out.column("sig").combine_chunks().flatten()).reshape(
+        -1, 64
+    ).astype(np.uint64)
+    for i, t in enumerate(texts):
+        ref = mh.signature(word_ngrams(t or "", 3))
+        assert (sigs[np.flatnonzero(doc_col == i)[0]] == ref).all()
+
+    vals = np.asarray(SimHash()(batch).column("simhash")).astype(np.uint64)
+    for i, t in enumerate(texts):
+        assert int(vals[i]) == simhash64(t or "")
