@@ -64,7 +64,9 @@ def _md5_low64(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[8:16], "little")
 
 
-def _md5_hash_strings(arr: pa.Array | pa.ChunkedArray, *, bits: int = 64) -> np.ndarray:
+def _md5_hash_strings(
+    arr: pa.Array | pa.ChunkedArray, *, bits: int = 64, encoded: bool = False
+) -> "np.ndarray | tuple[np.ndarray, np.ndarray]":
     """``md5_number_lower`` per string of an Arrow string array →
     uint64 (optionally masked to the low 32 bits). The vectorized form
     of ``_md5_low64`` over a column: values are dictionary-encoded
@@ -74,11 +76,18 @@ def _md5_hash_strings(arr: pa.Array | pa.ChunkedArray, *, bits: int = 64) -> np.
     dictionary's Arrow buffers (offsets + memoryview slices — the
     ``add_content_hash`` technique; no Python str materialization, no
     re-encode). Nulls are not supported — callers feed gram/token
-    arrays that are non-null by construction."""
+    arrays that are non-null by construction.
+
+    With ``encoded=True`` the dictionary form ``(uniq_hashes, idx)``
+    is returned instead of the expanded ``uniq_hashes[idx]`` — callers
+    that do per-hash arithmetic (minhash permutations) apply it to the
+    (much smaller) distinct set and gather, a ~5× win measured on
+    corpus-shaped batches (27k distinct of 260k gram occurrences)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if not len(arr):
-        return np.empty(0, dtype=np.uint64)
+        e = np.empty(0, dtype=np.uint64)
+        return (e, np.empty(0, dtype=np.int64)) if encoded else e
     dd = arr.dictionary_encode()
     dic = dd.dictionary
     idx = np.asarray(dd.indices, dtype=np.int64)
@@ -103,6 +112,8 @@ def _md5_hash_strings(arr: pa.Array | pa.ChunkedArray, *, bits: int = 64) -> np.
     )
     if bits == 32:
         uniq &= np.uint64(0xFFFFFFFF)
+    if encoded:
+        return uniq, idx
     return uniq[idx]
 
 
@@ -554,19 +565,26 @@ class MinHashLSH:
         )  # (P, G)
         return m.min(axis=1)
 
-    def _sigs_from_segments(self, h: np.ndarray, starts: np.ndarray) -> np.ndarray:
-        """(G,) gram hashes in row-segment layout → (n_segs, N_PERM)
-        signatures: the permutation products computed in bounded chunks
-        (≤ ~2^18 grams × 64 perms ≈ 128 MB working set) with one
-        ``np.minimum.reduceat`` per chunk — arithmetic identical to
-        ``signature()``."""
+    def _sigs_from_segments(
+        self, uniq: np.ndarray, idx: np.ndarray, starts: np.ndarray
+    ) -> np.ndarray:
+        """Dictionary-encoded gram hashes (``uniq`` distinct values,
+        ``idx`` per-occurrence indices in row-segment layout) →
+        (n_segs, N_PERM) signatures. The permutation products are
+        computed ONCE per distinct gram — (U, 64), typically ~10× fewer
+        rows than occurrences — then gathered per occurrence in bounded
+        chunks (≤ ~2^18 grams × 64 perms ≈ 128 MB working set) with one
+        ``np.minimum.reduceat`` (axis 0, contiguous segments) per chunk.
+        Arithmetic identical to ``signature()``; the distinct-first +
+        axis-0 layout measured 5× faster than a per-occurrence axis-1
+        pass on corpus-shaped batches."""
         n_segs = len(starts) - 1
         sigs = np.empty((n_segs, N_PERM), dtype=np.uint64)
         mask = np.uint64(0xFFFFFFFF)
-        for i, j in _segment_chunks(starts, 1 << 18):
+        md = (uniq[:, None] * self.a[None, :] + self.b[None, :]) & mask
+        for i, j in _segment_chunks(starts, 1 << 16):
             lo, hi = starts[i], starts[j]
-            m = (self.a[:, None] * h[None, lo:hi] + self.b[:, None]) & mask
-            sigs[i:j] = np.minimum.reduceat(m, starts[i:j] - lo, axis=1).T
+            sigs[i:j] = np.minimum.reduceat(md[idx[lo:hi]], starts[i:j] - lo, axis=0)
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -581,8 +599,8 @@ class MinHashLSH:
         sigs = np.full((n, N_PERM), MINHASH_EMPTY, dtype=np.uint64)
         rows, grams, starts = _distinct_gram_rows(batch.column("text"), self.n)
         if len(rows):
-            h = _md5_hash_strings(grams, bits=32)
-            sigs[rows[starts[:-1]]] = self._sigs_from_segments(h, starts)
+            uniq, idx = _md5_hash_strings(grams, bits=32, encoded=True)
+            sigs[rows[starts[:-1]]] = self._sigs_from_segments(uniq, idx, starts)
         keys = band_keys(sigs)  # (n, N_BANDS) int64, vectorized
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(
@@ -674,6 +692,17 @@ def minhash_batch(batch: pa.Table, n: int = NGRAM_N, seed: int = 7) -> pa.Table:
     return mh(batch)
 
 
+def _band_partition_count(n_band_rows: int, *, rows_per_part: int = 100_000) -> int:
+    """Power-of-two LSH bucket-space partition count sized from the
+    band-row count (~100k band rows ≈ 50 MB with the riding signature
+    per partition), clamped to [8, 65536] — the suggest_layout
+    discipline applied to the banding shuffle. A fixed 64 was measured
+    paying ~0.2 s of near-empty-partition overhead on a 5k-doc corpus
+    while under-splitting a 100M-doc one."""
+    target = max(1, n_band_rows // rows_per_part)
+    return max(8, min(65536, 1 << (target - 1).bit_length()))
+
+
 def minhash_lsh_pairs(
     ds, threshold: float = 0.5, *, concurrency=None, max_bucket: int = 200
 ):
@@ -690,6 +719,9 @@ def minhash_lsh_pairs(
     import functools
 
     from ray.data.aggregate import Max
+
+    # metadata-cheap on a fresh pruned read; sizes the bucket shuffle
+    n_bpart = _band_partition_count(ds.count() * N_BANDS)
 
     if concurrency is None:
         bands = ds.map_batches(
@@ -710,7 +742,8 @@ def minhash_lsh_pairs(
             pc.shift_left(pc.cast(t.column("band_idx"), pa.int64()), 58),
         )
         return t.append_column(
-            "bpart", pc.cast(pc.bit_wise_and(mixed, np.int64(63)), pa.int32())
+            "bpart",
+            pc.cast(pc.bit_wise_and(mixed, np.int64(n_bpart - 1)), pa.int32()),
         )
 
     parted = bands.map_batches(add_bpart, batch_format="pyarrow", zero_copy_batch=True)
@@ -772,16 +805,19 @@ class SimHash:
         vals = np.zeros(n, dtype=np.uint64)
         rows, toks, counts, starts = _token_count_rows(batch.column("text"))
         if len(rows):
-            h = _md5_hash_strings(toks, bits=64)
+            uniq, idx = _md5_hash_strings(toks, bits=64, encoded=True)
             n_segs = len(starts) - 1
             acc = np.empty((n_segs, SIMHASH_BITS), dtype=np.int64)
             bit_shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+            # ±1 bit-sign table computed once per DISTINCT token, then
+            # gathered per occurrence and weighted by its count
+            signs = (
+                2 * ((uniq[:, None] >> bit_shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                - 1
+            )
             for i, j in _segment_chunks(starts, 1 << 18):
                 lo, hi = starts[i], starts[j]
-                bits = (
-                    (h[lo:hi, None] >> bit_shifts[None, :]) & np.uint64(1)
-                ).astype(np.int64)
-                contrib = (2 * bits - 1) * counts[lo:hi, None]
+                contrib = signs[idx[lo:hi]] * counts[lo:hi, None]
                 acc[i:j] = np.add.reduceat(contrib, starts[i:j] - lo, axis=0)
             packed = ((acc > 0).astype(np.uint64) << bit_shifts[None, :]).sum(
                 axis=1
@@ -1078,6 +1114,7 @@ def simhash_pairs(ds, max_hamming: int = 3, *, max_bucket: int = 2000):
 
     from ray.data.aggregate import Min
 
+    n_bpart = _band_partition_count(ds.count() * SIMHASH_BANDS)
     sim = ds.map_batches(SimHash(), batch_format="pyarrow", zero_copy_batch=True)
     bands = sim.map_batches(
         _explode_simhash_bands, batch_format="pyarrow", zero_copy_batch=True
@@ -1089,7 +1126,8 @@ def simhash_pairs(ds, max_hamming: int = 3, *, max_bucket: int = 2000):
             pc.shift_left(pc.cast(t.column("band_idx"), pa.int64()), 58),
         )
         return t.append_column(
-            "bpart", pc.cast(pc.bit_wise_and(mixed, np.int64(63)), pa.int32())
+            "bpart",
+            pc.cast(pc.bit_wise_and(mixed, np.int64(n_bpart - 1)), pa.int32()),
         )
 
     parted = bands.map_batches(add_bpart, batch_format="pyarrow", zero_copy_batch=True)
