@@ -134,6 +134,30 @@ def run_bench() -> dict:
     headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
 
     if not headline_only:
+        # secondary: the same fused layout with span byte-thinning
+        # (config.span_text_refs=True — spans carry (off, len) refs
+        # into extracted_text instead of a duplicate copy; −35% output
+        # bytes, schema.resolve_span_text() restores the default form
+        # losslessly). Kept secondary so the headline stays
+        # byte-comparable across rounds.
+        import dataclasses as _dc
+
+        from intelligent_ocr_ray.config import DEFAULT_CONFIG as _DC_CFG
+
+        refs_cfg = _dc.replace(_DC_CFG, span_text_refs=True)
+        sr = float("inf")
+        for trial in range(2):
+            out_dir = f"/tmp/ior_bench_out/refs_cpus{NUM_CPUS}_t{trial}"
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            run_resumable(
+                src, out_dir, refs_cfg, num_parts=n_parts, fuse_extract=True,
+                read_num_blocks=n_read_blocks,
+            )
+            sr = min(sr, time.perf_counter() - t0)
+        results["flagship_extract_spanrefs"] = round(sr, 3)
+
+    if not headline_only:
         # secondary: the global-sort ordered flagship (single
         # totally-ordered output stream; the single-job path)
         gs = float("inf")

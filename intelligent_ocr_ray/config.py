@@ -58,6 +58,15 @@ class ExtractorConfig:
     # R3 ladder (reference: retry with fast mode / DPI−100,
     # desktop/workers.py:290-307: lower quality, higher success rate).
     lenient_layout: bool = False
+    # Span byte-thinning: store (text_off, text_len) code-point
+    # references into extracted_text instead of a duplicate text copy
+    # in every span struct (every span of every route is a contiguous
+    # slice of extracted_text by construction — html/pdfish join span
+    # texts with '\n'). Roughly halves the bytes the fused flagship
+    # shuffles and writes; schema.resolve_span_text() rebuilds the
+    # text-carrying form losslessly. Default False = byte-identical
+    # output to previous releases (parity-pinned).
+    span_text_refs: bool = False
 
     def fingerprint(self) -> str:
         """Stable hash of the semantic knobs PLUS the output schema

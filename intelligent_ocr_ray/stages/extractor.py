@@ -40,7 +40,7 @@ from ..functions.extract import (
     extract_turn,
 )
 from ..functions.variants import VariantMapper
-from ..schema import SPAN_TYPE, STATUS_OK, STATUS_SKIPPED
+from ..schema import SPAN_REF_TYPE, SPAN_TYPE, STATUS_OK, STATUS_SKIPPED
 
 _BLANK_NOISE_ANCHORED = r"^[ \t\r\n\-=_~*·.•]+$"
 
@@ -94,6 +94,10 @@ class ExtractTurns:
             self.ladder: tuple[ExtractorConfig, ...] = degraded_ladder(config)
         else:
             self.ladder = ()
+        # span byte-thinning (config.span_text_refs): spans carry
+        # (text_off, text_len) refs into extracted_text instead of a
+        # duplicate text copy — see schema.SPAN_REF_TYPE
+        self.span_type = SPAN_REF_TYPE if config.span_text_refs else SPAN_TYPE
         self.vm = VariantMapper(config.variants_path) if config.enable_variants else None
         if self.vm is not None and self.vm.mapping:
             # vectorized "does this row contain any variant char" probe —
@@ -145,26 +149,59 @@ class ExtractTurns:
     # per row. Parity with the serial per-row oracle (functions.extract)
     # is pinned by tests/test_extractor_parity.py.
 
-    @staticmethod
-    def _spans_single(texts: pa.Array, kind: str, present: np.ndarray) -> pa.Array:
-        """list<SPAN_TYPE> with one span per row where ``present`` else
-        empty; span text aliases the extracted-text buffer (zero-copy)."""
+    def _spans_single(self, texts: pa.Array, kind: str, present: np.ndarray) -> pa.Array:
+        """list<span> with one span per row where ``present`` else
+        empty. Text-carrying form: span text aliases the extracted-text
+        buffer (zero-copy in memory; duplicated on write). Refs form:
+        (0, len) — the single span IS the whole extracted string."""
         pb = present.astype(bool)
         vals = texts.filter(pa.array(pb)) if not pb.all() else texts
         k = len(vals)
+        if self.config.span_text_refs:
+            text_children = [
+                pa.array(np.zeros(k, np.int32), pa.int32()),
+                pc.cast(pc.utf8_length(vals), pa.int32()),
+            ]
+        else:
+            text_children = [vals]
         struct = pa.StructArray.from_arrays(
             [
                 pa.array(np.zeros(k, np.int32), pa.int32()),
                 pa.nulls(k, pa.string()).fill_null(kind),
-                vals,
+                *text_children,
                 pa.array(np.ones(k, np.float64), pa.float64()),
                 pa.array(np.zeros(k, bool), pa.bool_()),
                 pa.array(np.zeros(k, np.float64), pa.float64()),  # font_size: no geometry
             ],
-            fields=list(SPAN_TYPE),
+            fields=list(self.span_type),
         )
         offsets = np.concatenate([[0], np.cumsum(present, dtype=np.int32)])
         return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+
+    def _span_dicts(self, spans) -> list[dict]:
+        """Parser-route span rows in the active span form. Refs form:
+        offsets follow from the construction invariant extracted_text =
+        '\\n'.join(span texts) for html/pdfish (functions/extract.py:
+        230-232, 293-310) — each span is a contiguous code-point slice."""
+        if not self.config.span_text_refs:
+            return [s.to_dict() for s in spans]
+        out = []
+        off = 0
+        for s in spans:
+            ln = len(s.text)
+            out.append(
+                {
+                    "span_idx": s.span_idx,
+                    "kind": s.kind,
+                    "text_off": off,
+                    "text_len": ln,
+                    "score": s.score,
+                    "vertical": s.vertical,
+                    "font_size": s.font_size,
+                }
+            )
+            off += ln + 1
+        return out
 
     @staticmethod
     def _const(value: str, k: int) -> pa.Array:
@@ -305,7 +342,7 @@ class ExtractTurns:
                 ext, _ = _do(payload)
                 p_route.append(ext.route)  # 'error' when the payload poisoned
                 p_ext.append(ext.extracted_text)
-                p_spans.append([s.to_dict() for s in ext.spans])
+                p_spans.append(self._span_dicts(ext.spans))
                 p_status.append(ext.status)
                 p_err.append(ext.error)
             fan = pa.array(inv_parse)
@@ -313,7 +350,7 @@ class ExtractTurns:
                 parse_idx,
                 pa.array(p_route, pa.string()).take(fan),
                 pa.array(p_ext, pa.string()).take(fan),
-                pa.array(p_spans, pa.list_(SPAN_TYPE)).take(fan),
+                pa.array(p_spans, pa.list_(self.span_type)).take(fan),
                 pa.array(p_status, pa.string()).take(fan),
                 pa.array(p_err, pa.string()).take(fan),
             )
