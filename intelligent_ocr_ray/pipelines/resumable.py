@@ -101,6 +101,33 @@ def _heartbeat_sink_cls():
     return _HeartbeatSink
 
 
+def _cancel_executor(ds) -> bool:
+    """Best-effort cancel of a hung Dataset execution via the Dataset's
+    own cleanup path (``_current_executor.shutdown(force=True)``) so
+    abandoned tasks don't outlive the attempt. The attr is PRIVATE
+    (present on ray 2.49; tests/test_watchdog.py pins its existence so
+    an upgrade that moves it fails the suite loudly, and pins this
+    guard's logged-no-op on absence): a Ray version without it degrades
+    to a LOGGED no-op, never silent zombie tasks — correctness stays
+    safe either way because attempt-scoped tmp dirs mean abandoned
+    writers can't corrupt a commit. Returns True iff a shutdown was
+    actually issued."""
+    ex = getattr(ds, "_current_executor", None)
+    if ex is None:
+        logger.warning(
+            "watchdog: Dataset._current_executor unavailable on this "
+            "Ray version; cannot cancel the hung attempt's tasks — "
+            "they will idle out with the attempt"
+        )
+        return False
+    try:
+        ex.shutdown(force=True)
+        return True
+    except Exception:  # noqa: BLE001 — cancellation is advisory
+        logger.warning("watchdog: executor shutdown failed", exc_info=True)
+        return False
+
+
 def _filter_pending(pending: set[int]):
     def f(t: pa.Table) -> pa.Table:
         mask = pc.is_in(t.column("part"), value_set=pa.array(sorted(pending), pa.int32()))
@@ -332,25 +359,7 @@ def _attempt(
                     logger.warning("watchdog: heartbeat sink unreachable", exc_info=True)
             if now - last_signal <= partition_timeout_s:
                 continue  # progress within budget — keep waiting
-            # best-effort cancel of the hung execution (the Dataset's
-            # own cleanup path: _current_executor.shutdown(force=True))
-            # so abandoned tasks don't outlive the attempt. The attr is
-            # private: guard explicitly so a Ray upgrade that moves it
-            # degrades to a LOGGED no-op, not silent zombie tasks
-            # (correctness stays safe either way — attempt-scoped tmp
-            # dirs mean abandoned writers can't corrupt a commit).
-            ex = getattr(summaries, "_current_executor", None)
-            if ex is None:
-                logger.warning(
-                    "watchdog: Dataset._current_executor unavailable on this "
-                    "Ray version; cannot cancel the hung attempt's tasks — "
-                    "they will idle out with the attempt"
-                )
-            else:
-                try:
-                    ex.shutdown(force=True)
-                except Exception:  # noqa: BLE001 — cancellation is advisory
-                    logger.warning("watchdog: executor shutdown failed", exc_info=True)
+            _cancel_executor(summaries)
             return False, TimeoutError(
                 f"no progress signal within {partition_timeout_s}s"
             )

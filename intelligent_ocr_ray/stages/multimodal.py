@@ -88,6 +88,28 @@ def synthesize_media_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 # --- decoders -------------------------------------------------------------
 
 
+def _decode_pil(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real-codec integration point (VERDICT r3 #8): decode any
+    PIL-supported format (PNG/JPEG/...) to the SAME (w, h, channels,
+    flat uint8 pixels) contract as the deterministic FIMG fake, so the
+    whole downstream Ray plumbing (batch sizing, feature reduction,
+    status column) is codec-agnostic. Only reachable when PIL imports;
+    this container ships without it, so CI exercises the fallback
+    branch — tests/test_multimodal.py runs either way."""
+    import io
+
+    img = _PIL_Image.open(io.BytesIO(data))
+    if img.mode not in ("L", "RGB", "RGBA"):
+        img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        c = 1
+    else:
+        h, w, c = arr.shape
+    return w, h, c, arr.reshape(-1)
+
+
 def _decode_fimg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     w, h, c = struct.unpack("<HHB", data[4:9])
     px = np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8)
@@ -114,8 +136,13 @@ class DecodeImage:
         magic = data[:4]
         fn = self.codecs.get(magic)
         if fn is None:
-            if HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError("real-codec path: wire PIL here")
+            if HAVE_PIL:  # pragma: no cover — PIL absent in this container
+                try:
+                    return _decode_pil(data)
+                except Exception as e:  # noqa: BLE001 — undecodable payload
+                    raise NotImplementedError(
+                        f"PIL could not decode payload (magic {magic!r}): {e}"
+                    ) from e
             raise NotImplementedError(
                 f"no codec for magic {magic!r} (image libs not installed)"
             )

@@ -2,6 +2,12 @@ import pytest
 import ray
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "fuzz: bounded seeded oracle-fuzz sweep (slower; CI-cadence)"
+    )
+
+
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
     ray.init(
