@@ -37,6 +37,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # real cluster where per-job overhead is negligible against the data.
 CONVS_PER_DOC = int(os.environ.get("GRAFT_CONVS_PER_DOC", "60"))
 
+# best-of-N trials for the headline timing. Default 3 absorbs the
+# multi-tenant host noise at bench scale; the 64M-turn scaling legs set
+# 2 (a 2-CPU leg runs ~12 min — three trials would dominate the
+# campaign wall without changing the best-of statistics much).
+N_TRIALS = max(1, int(os.environ.get("GRAFT_TRIALS", "3")))
+
 
 def transcripts_dir() -> str:
     import pyarrow.parquet as pq
@@ -119,13 +125,28 @@ def run_bench() -> dict:
     from intelligent_ocr_ray.pipelines.resumable import suggest_layout
 
     n_parts, n_read_blocks = suggest_layout(src, min_parts=256, min_blocks=64)
+
+    # GRAFT_SPANREFS=1 runs the HEADLINE with span byte-thinning
+    # (config.span_text_refs=True). Used for scaling experiments: the
+    # 8→32 intra-box gap is memory-bandwidth-bound (BENCH/BASELINE.md
+    # decomposition), so the −35%-bytes output layout is the direct
+    # test of that diagnosis. Default off so the headline stays
+    # byte-comparable across rounds.
+    import dataclasses as _dc0
+
+    from intelligent_ocr_ray.config import DEFAULT_CONFIG as _HC
+
+    headline_cfg = _HC
+    if os.environ.get("GRAFT_SPANREFS") == "1":
+        headline_cfg = _dc0.replace(_HC, span_text_refs=True)
+
     headline = float("inf")
-    for trial in range(3):  # best-of-3: multi-tenant host noise up to 4×
+    for trial in range(N_TRIALS):  # best-of-N: multi-tenant host noise up to 4×
         out_dir = f"/tmp/ior_bench_out/cpus{NUM_CPUS}_t{trial}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         run_resumable(
-            src, out_dir, num_parts=n_parts, fuse_extract=True,
+            src, out_dir, headline_cfg, num_parts=n_parts, fuse_extract=True,
             read_num_blocks=n_read_blocks,
         )
         headline = min(headline, time.perf_counter() - t0)
