@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 
 from intelligent_ocr_ray.config import DEFAULT_CONFIG
 from intelligent_ocr_ray.pipelines.extract import extract_dataset
+from intelligent_ocr_ray.sources.htmlsrc import HTML_SQL as _HTML_SQL
 from intelligent_ocr_ray.sources.layout import LAYOUT_SQL as _LAYOUT_SQL
 from intelligent_ocr_ray.sources.transcripts import SQL_DERIVATION, transcripts_from_documents
 
@@ -439,6 +440,38 @@ def _q_pdfish_extract(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_html_extract(sf_dir: str):
+    """The html flagship branch under a cell-level oracle (companion to
+    pdfish_extract): deterministic html payloads derived from every
+    documents row by SQL-replayable arithmetic, round-tripped through
+    the REAL boilerplate-strip extractor — script/style subtree drop,
+    block-tag split, per-block visible/anchor measurement, link-density
+    + min-chars + confidence keep rule, entity unescape, whitespace
+    collapse, NFKC — while the oracle derives the expected text from
+    the same arithmetic (sources/htmlsrc.py). Reference analog: the
+    link/text-density strip the dual-layer embed relies on
+    (core/pdf_processor.py:627-659)."""
+    from intelligent_ocr_ray.sources.htmlsrc import html_from_documents
+
+    ds = html_from_documents(sf_dir)
+    out = extract_dataset(ds, DEFAULT_CONFIG, concurrency=2)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("turn_idx"), pa.int64()),
+                "route": t.column("route"),
+                "extracted_text": t.column("extracted_text"),
+                "status": t.column("status"),
+                "n_spans": pc.cast(
+                    pc.list_value_length(t.column("spans")), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_conv_passthrough(sf_dir: str):
     """M1 doc-level existing-text predicate: per-conversation stripped
     char totals and the passthrough flag (combiner → groupby-sum)."""
@@ -611,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": _q_conv_stats,
         "status_profile": _q_status_profile,
         "pdfish_extract": _q_pdfish_extract,
+        "html_extract": _q_html_extract,
         "conv_passthrough": _q_conv_passthrough,
         "conv_export": _q_conv_export,
     }
@@ -894,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_passthrough": _PASSTHROUGH_SQL,
         "status_profile": _STATUS_PROFILE_SQL,
         "pdfish_extract": _LAYOUT_SQL,
+        "html_extract": _HTML_SQL,
         "lang_id_ngram": _ngram_lang_sql(),
         "token_stats": f"""
             SELECT doc_id,
