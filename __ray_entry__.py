@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 from intelligent_ocr_ray.config import DEFAULT_CONFIG
 from intelligent_ocr_ray.pipelines.extract import extract_dataset
 from intelligent_ocr_ray.sources.htmlsrc import HTML_SQL as _HTML_SQL
+from intelligent_ocr_ray.stages.multimodal import MULTIMODAL_SQL as _MULTIMODAL_SQL
 from intelligent_ocr_ray.sources.layout import LAYOUT_SQL as _LAYOUT_SQL
 from intelligent_ocr_ray.sources.transcripts import SQL_DERIVATION, transcripts_from_documents
 
@@ -929,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "status_profile": _STATUS_PROFILE_SQL,
         "pdfish_extract": _LAYOUT_SQL,
         "html_extract": _HTML_SQL,
+        "multimodal_decode": _MULTIMODAL_SQL,
         "lang_id_ngram": _ngram_lang_sql(),
         "token_stats": f"""
             SELECT doc_id,

@@ -49,9 +49,15 @@ def _rng_for(key: int) -> np.random.RandomState:
 
 
 def fake_image_bytes(key: int) -> bytes:
-    rng = _rng_for(key)
-    w, h, c = int(rng.randint(8, 64)), int(rng.randint(8, 64)), 3
-    pixels = rng.randint(0, 256, size=w * h * c, dtype=np.int64).astype(np.uint8)
+    """Deterministic FIMG payload with SQL-replayable arithmetic (keep
+    in lockstep with ``MULTIMODAL_SQL``): w = 8 + 5k % 56,
+    h = 8 + 3k % 56, c = 3, pixel[i] = (k + i) % 256. Integer pixels
+    make every downstream float metric a single exact IEEE division
+    (integer sum / count), so the decode pipeline is hash-checkable
+    against a DuckDB oracle — the encode→resize→re-encode→decode
+    round-trip through the real codec layer is what the Ray side adds."""
+    w, h, c = 8 + (5 * key) % 56, 8 + (3 * key) % 56, 3
+    pixels = ((key + np.arange(w * h * c, dtype=np.int64)) % 256).astype(np.uint8)
     return b"FIMG" + struct.pack("<HHB", w, h, c) + zlib.compress(pixels.tobytes())
 
 
@@ -336,3 +342,62 @@ def multimodal_pipeline(sf_dir: str, *, concurrency=2):
         ["doc_id", "image_width", "image_height", "image_channels",
          "image_mean", "image_status", "resize_scale"]
     )
+
+
+# The expected decode output, derived in SQL from the fixture
+# arithmetic (fake_image_bytes + ResizeImage's nearest-neighbor gather
+# + DecodeImage's integer-sum mean) — never by parsing the payload
+# bytes: the encode → resize-guard → re-encode → decode round-trip
+# through the real codec registry is exactly what the Ray side adds.
+# Resize contract replayed here (max_side=32, core/pdf_processor.py:
+# 796-836 analog): scale = 32/max(w,h) when max(w,h) > 32 else 1;
+# nw = max(1, trunc(w*scale)); source row/col = clip(trunc(i/scale));
+# every float is a single exact IEEE division of integers.
+MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT doc_id AS d,
+         8 + (5 * doc_id) % 56 AS w,
+         8 + (3 * doc_id) % 56 AS h,
+         3 AS c
+  FROM documents
+),
+geo AS (
+  SELECT d, w, h, c,
+         CASE WHEN greatest(w, h) <= 32 THEN 1.0
+              ELSE 32.0 / greatest(w, h) END AS scale
+  FROM m
+),
+geo2 AS (
+  SELECT d, w, h, c, scale,
+         CASE WHEN scale = 1.0 THEN w
+              ELSE greatest(1, CAST(trunc(w * scale) AS BIGINT)) END AS nw,
+         CASE WHEN scale = 1.0 THEN h
+              ELSE greatest(1, CAST(trunc(h * scale) AS BIGINT)) END AS nh
+  FROM geo
+),
+ys AS (
+  SELECT d, w, h, c, scale, nw, nh, unnest(range(nh)) AS y FROM geo2
+),
+yx AS (
+  SELECT d, w, c, scale, nw, nh,
+         least(h - 1, CAST(trunc(y / scale) AS BIGINT)) AS yi,
+         unnest(range(nw)) AS x
+  FROM ys
+),
+px AS (
+  SELECT d, nw, nh,
+         sum((d + ((yi * w + least(w - 1, CAST(trunc(x / scale) AS BIGINT))) * c
+                   + ch)) % 256) AS s,
+         count(*) AS n
+  FROM (SELECT *, unnest(range(c)) AS ch FROM yx)
+  GROUP BY d, nw, nh
+)
+SELECT g.d AS doc_id,
+       CAST(p.nw AS INTEGER) AS image_width,
+       CAST(p.nh AS INTEGER) AS image_height,
+       3 AS image_channels,
+       CAST(p.s AS DOUBLE) / p.n AS image_mean,
+       'ok' AS image_status,
+       g.scale AS resize_scale
+FROM geo2 g JOIN px p ON p.d = g.d
+"""

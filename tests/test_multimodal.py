@@ -156,3 +156,38 @@ def test_decode_image_real_codec_or_fallback():
     )
     w, h, c, px = d.decode(fimg)
     assert (w, h, c) == (4, 2, 1) and px.size == 8
+
+
+def test_multimodal_pipeline_matches_duckdb_derivation():
+    """The decode pipeline under the driver's cell-level oracle: the
+    fixture arithmetic (fake_image_bytes), the resize-guard gather and
+    the integer-sum mean are all replayed in SQL (MULTIMODAL_SQL); the
+    Ray side adds the real encode -> resize -> re-encode -> decode
+    round-trip through the codec registry. Every float crosses engines
+    as one exact IEEE division of integers."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    got = (
+        entry.queries()["multimodal_decode"](SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    from intelligent_ocr_ray.stages.multimodal import MULTIMODAL_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.sql(MULTIMODAL_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    for col in ("image_width", "image_height", "image_channels"):
+        assert got[col].astype(int).tolist() == want[col].astype(int).tolist()
+    # exact float equality is the contract (single integer division)
+    assert got["image_mean"].tolist() == want["image_mean"].tolist()
+    assert got["resize_scale"].tolist() == want["resize_scale"].tolist()
+    assert set(got["image_status"]) == {"ok"}
+    # the corpus exercises BOTH branches of the resize guard
+    assert (got["resize_scale"] < 1.0).any() and (got["resize_scale"] == 1.0).any()
