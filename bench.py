@@ -154,18 +154,15 @@ def run_bench() -> dict:
 
     headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
 
-    if not headline_only:
+    if not headline_only and os.environ.get("GRAFT_SPANREFS") != "1":
         # secondary: the same fused layout with span byte-thinning
         # (config.span_text_refs=True — spans carry (off, len) refs
         # into extracted_text instead of a duplicate copy; −35% output
         # bytes, schema.resolve_span_text() restores the default form
         # losslessly). Kept secondary so the headline stays
-        # byte-comparable across rounds.
-        import dataclasses as _dc
-
-        from intelligent_ocr_ray.config import DEFAULT_CONFIG as _DC_CFG
-
-        refs_cfg = _dc.replace(_DC_CFG, span_text_refs=True)
+        # byte-comparable across rounds; skipped under GRAFT_SPANREFS=1,
+        # where the headline above already IS the refs configuration.
+        refs_cfg = _dc0.replace(_HC, span_text_refs=True)
         sr = float("inf")
         for trial in range(2):
             out_dir = f"/tmp/ior_bench_out/refs_cpus{NUM_CPUS}_t{trial}"

@@ -81,13 +81,17 @@ def resolve_span_text(table: pa.Table) -> pa.Table:
     ext = table.column("extracted_text")
     if isinstance(ext, pa.ChunkedArray):
         ext = ext.combine_chunks()
-    parents = ext.take(pa.array(np.repeat(np.arange(len(counts)), counts)))
+    # one Python-str materialization per ROW (not per span): a
+    # span-heavy row would otherwise convert its full extracted_text
+    # once per span — O(doc_len × spans) memory for no benefit
+    row_texts = ext.to_pylist()
+    row_of = np.repeat(np.arange(len(counts)), counts)
     off = np.asarray(flat.field("text_off"), dtype=np.int64)
     ln = np.asarray(flat.field("text_len"), dtype=np.int64)
     texts = pa.array(
         [
-            p[o : o + l]
-            for p, o, l in zip(parents.to_pylist(), off, ln)
+            row_texts[r][o : o + l]
+            for r, o, l in zip(row_of, off, ln)
         ],
         pa.string(),
     )

@@ -52,6 +52,13 @@ def _layout_payloads(batch: pa.Table) -> pa.Table:
     vectorized: one regex split, integer numpy coordinate math, Arrow
     element-wise joins; no per-row Python."""
     ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    # turn_idx is int32 by the transcript schema; a wrapped id would
+    # silently corrupt the doc_id the oracle joins on (the query casts
+    # turn_idx back to int64) — refuse rather than mismatch
+    if len(ids) and ids.max() >= 2**31:
+        raise ValueError(
+            "layout oracle corpus requires doc_id < 2^31 (turn_idx is int32)"
+        )
     n = len(ids)
     toks_list = pc.split_pattern_regex(
         pc.coalesce(batch.column("text"), pa.scalar("", pa.string())), "[^!-~]+"

@@ -310,9 +310,12 @@ def _decontaminate_broadcast(ds, bench: "np.ndarray", *, n, min_overlap, annotat
     return ds.map_batches(flag_overlap, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _decontaminate_join(ds, *, n, min_overlap, annotate):
+def _decontaminate_join(ds, bench_parts, *, n, min_overlap, annotate):
     """Large-benchmark path: distributed hash-join membership test —
-    benchmark grams made globally distinct by one groupby, corpus
+    the ALREADY-MATERIALIZED per-batch-distinct benchmark gram hashes
+    (``bench_parts``, the dataset decontaminate built for the crossover
+    decision — re-deriving them here would re-scan and re-digest the
+    whole benchmark side) made globally distinct by one groupby, corpus
     (doc, gram) rows inner-joined against them on the 64-bit hash,
     hits counted by a doc groupby, then left-joined back onto the
     corpus doc list so gramless / overlap-0 docs keep their row under
@@ -334,10 +337,6 @@ def _decontaminate_join(ds, *, n, min_overlap, annotate):
             }
         )
 
-    def bench_gram_rows(t: pa.Table) -> pa.Table:
-        _, _, h, _ = _doc_gram_hashes_batch(t, n=n, bench_side=True)
-        return pa.table({"g": pa.array(np.unique(h).astype(np.int64), pa.int64())})
-
     def corpus_doc_rows(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("doc_id"), dtype=np.int64)
         return pa.table(
@@ -353,8 +352,7 @@ def _decontaminate_join(ds, *, n, min_overlap, annotate):
     # empty hash partitions finalize as ZERO-COLUMN blocks that a
     # downstream equi-join rejects outright (io_utils docstring)
     bench_distinct = drop_empty_blocks(
-        ds.map_batches(bench_gram_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("g")
+        bench_parts.groupby("g")
         .aggregate(Count(alias_name="_one"))
         .drop_columns(["_one"]),
         pa.table({"g": pa.array([], pa.int64())}),
@@ -456,7 +454,9 @@ def decontaminate(
         return _decontaminate_broadcast(
             ds, bench, n=n, min_overlap=min_overlap, annotate=annotate
         )
-    return _decontaminate_join(ds, n=n, min_overlap=min_overlap, annotate=annotate)
+    return _decontaminate_join(
+        ds, parts, n=n, min_overlap=min_overlap, annotate=annotate
+    )
 
 
 # --- grouped top-k --------------------------------------------------------

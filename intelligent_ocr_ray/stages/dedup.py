@@ -117,6 +117,47 @@ def _md5_hash_strings(
     return uniq[idx]
 
 
+def _tokenized_rows(
+    col: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, pa.Array] | None:
+    """Shared scaffolding of the gram/token producers: trim →
+    non-blank row mask → whitespace tokenize. Returns (row_idx, toks
+    list-array) or None when no row survives — ONE definition so the
+    minhash and simhash paths can never diverge from each other (or
+    from their scalar oracle twins) on the tokenizer contract."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not len(col):
+        return None
+    trimmed = pc.utf8_trim(col, " \t\r\n")
+    ok = np.asarray(
+        pc.and_kleene(
+            pc.is_valid(trimmed), pc.greater(pc.utf8_length(trimmed), 0)
+        ).fill_null(False)
+    )
+    row_idx = np.flatnonzero(ok)
+    if not len(row_idx):
+        return None
+    toks = pc.split_pattern_regex(trimmed.take(pa.array(row_idx)), "[ \t\r\n]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return row_idx, toks
+
+
+def _sorted_row_segments(pairs: pa.Table, value_col: str):
+    """Order a per-(row, value) table by row and delimit the per-row
+    segments: (rows, values, order, starts) — the other half of the
+    shared segment contract."""
+    order = pc.sort_indices(pairs.column("row"))
+    rows = np.asarray(pairs.column("row").take(order), dtype=np.int64)
+    vals = pairs.column(value_col).take(order)
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    seg_new = np.concatenate([[True], rows[1:] != rows[:-1]])
+    starts = np.concatenate([np.flatnonzero(seg_new), [len(rows)]]).astype(np.int64)
+    return rows, vals, order, starts
+
+
 def _distinct_gram_rows(
     col: pa.Array | pa.ChunkedArray, n: int
 ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
@@ -133,27 +174,15 @@ def _distinct_gram_rows(
     explode_grams (VERDICT r3 #1): Arrow regex split → shifted takes →
     binary_join_element_wise → one C++ group_by distinct — no per-row
     Python, no Python string sets."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
     empty = (
         np.empty(0, dtype=np.int64),
         pa.array([], pa.string()),
         np.zeros(1, dtype=np.int64),
     )
-    if not len(col):
+    tr = _tokenized_rows(col)
+    if tr is None:
         return empty
-    trimmed = pc.utf8_trim(col, " \t\r\n")
-    ok = np.asarray(
-        pc.and_kleene(
-            pc.is_valid(trimmed), pc.greater(pc.utf8_length(trimmed), 0)
-        ).fill_null(False)
-    )
-    row_idx = np.flatnonzero(ok)
-    if not len(row_idx):
-        return empty
-    toks = pc.split_pattern_regex(trimmed.take(pa.array(row_idx)), "[ \t\r\n]+")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
+    row_idx, toks = tr
     flat = toks.flatten()
     n_tok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
     n_gram = np.maximum(n_tok - (n - 1), 0)
@@ -176,13 +205,7 @@ def _distinct_gram_rows(
         .group_by(["row", "gram"])
         .aggregate([])
     )
-    order = pc.sort_indices(pairs.column("row"))
-    rows = np.asarray(pairs.column("row").take(order), dtype=np.int64)
-    gr = pairs.column("gram").take(order)
-    if isinstance(gr, pa.ChunkedArray):
-        gr = gr.combine_chunks()
-    seg_new = np.concatenate([[True], rows[1:] != rows[:-1]])
-    starts = np.concatenate([np.flatnonzero(seg_new), [len(rows)]]).astype(np.int64)
+    rows, gr, _, starts = _sorted_row_segments(pairs, "gram")
     return rows, gr, starts
 
 
@@ -192,28 +215,16 @@ def _token_count_rows(
     """Vectorized per-row token frequencies: (rows, tokens, counts,
     starts) with the same segment contract as ``_distinct_gram_rows``
     — the batch-level form of simhash64's token-frequency dict."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
     empty = (
         np.empty(0, dtype=np.int64),
         pa.array([], pa.string()),
         np.empty(0, dtype=np.int64),
         np.zeros(1, dtype=np.int64),
     )
-    if not len(col):
+    tr = _tokenized_rows(col)
+    if tr is None:
         return empty
-    trimmed = pc.utf8_trim(col, " \t\r\n")
-    ok = np.asarray(
-        pc.and_kleene(
-            pc.is_valid(trimmed), pc.greater(pc.utf8_length(trimmed), 0)
-        ).fill_null(False)
-    )
-    row_idx = np.flatnonzero(ok)
-    if not len(row_idx):
-        return empty
-    toks = pc.split_pattern_regex(trimmed.take(pa.array(row_idx)), "[ \t\r\n]+")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
+    row_idx, toks = tr
     n_tok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
     pairs = (
         pa.table(
@@ -225,14 +236,8 @@ def _token_count_rows(
         .group_by(["row", "token"])
         .aggregate([([], "count_all")])
     )
-    order = pc.sort_indices(pairs.column("row"))
-    rows = np.asarray(pairs.column("row").take(order), dtype=np.int64)
-    tok = pairs.column("token").take(order)
-    if isinstance(tok, pa.ChunkedArray):
-        tok = tok.combine_chunks()
+    rows, tok, order, starts = _sorted_row_segments(pairs, "token")
     counts = np.asarray(pairs.column("count_all").take(order), dtype=np.int64)
-    seg_new = np.concatenate([[True], rows[1:] != rows[:-1]])
-    starts = np.concatenate([np.flatnonzero(seg_new), [len(rows)]]).astype(np.int64)
     return rows, tok, counts, starts
 
 
@@ -720,9 +725,6 @@ def minhash_lsh_pairs(
 
     from ray.data.aggregate import Max
 
-    # metadata-cheap on a fresh pruned read; sizes the bucket shuffle
-    n_bpart = _band_partition_count(ds.count() * N_BANDS)
-
     if concurrency is None:
         bands = ds.map_batches(
             minhash_batch, batch_format="pyarrow", zero_copy_batch=True
@@ -735,6 +737,14 @@ def minhash_lsh_pairs(
             concurrency=concurrency,
             num_cpus=0.5,
         )
+    # Materialize the NARROW signature table (≈160 B/band-row — the
+    # same bytes the bucket shuffle is about to move anyway), then size
+    # the shuffle from its row count. Counting the INPUT here instead
+    # would re-execute an arbitrary caller-supplied upstream pipeline
+    # (cleaning stages, joins) once for the count and once for the
+    # signatures — the trap dedup_corpus's sizing comment warns about.
+    bands = bands.materialize()
+    n_bpart = _band_partition_count(bands.count())
 
     def add_bpart(t: pa.Table) -> pa.Table:
         mixed = pc.bit_wise_xor(
@@ -1114,11 +1124,15 @@ def simhash_pairs(ds, max_hamming: int = 3, *, max_bucket: int = 2000):
 
     from ray.data.aggregate import Min
 
-    n_bpart = _band_partition_count(ds.count() * SIMHASH_BANDS)
     sim = ds.map_batches(SimHash(), batch_format="pyarrow", zero_copy_batch=True)
     bands = sim.map_batches(
         _explode_simhash_bands, batch_format="pyarrow", zero_copy_batch=True
     )
+    # narrow band table materialized once, then counted — see
+    # minhash_lsh_pairs for why counting the input would double-execute
+    # an arbitrary upstream pipeline
+    bands = bands.materialize()
+    n_bpart = _band_partition_count(bands.count())
 
     def add_bpart(t: pa.Table) -> pa.Table:
         mixed = pc.bit_wise_xor(

@@ -92,12 +92,31 @@ def claim_next_job(queue_dir: str) -> tuple[str, dict] | None:
 
 
 def _terminal_path(queue_dir: str, job_id: str) -> str | None:
-    """Path of the job's done/ or failed/ copy, if one exists."""
+    """Path of the job's done/ or failed/ copy, if one exists
+    (done wins when both do — see _reconcile_terminal)."""
     for state in ("done", "failed"):
         p = os.path.join(_state_dir(queue_dir, state), f"{job_id}.json")
         if os.path.isfile(p):
             return p
     return None
+
+
+def _reconcile_terminal(queue_dir: str, job_id: str) -> None:
+    """Collapse the dual-terminal window: two RACING finishers (one of
+    them necessarily operating on a reclaimed claim) can both pass the
+    terminal-exists check and publish done/ AND failed/ copies. The
+    deterministic winner is done/ — a success result is never
+    invalidated by a concurrent failure report from a stale claimant —
+    so the failed/ twin is retired. Idempotent and crash-safe: every
+    finisher runs it after publishing, and requeue_running repeats it
+    for jobs whose finisher crashed in the window."""
+    done_p = os.path.join(_state_dir(queue_dir, "done"), f"{job_id}.json")
+    failed_p = os.path.join(_state_dir(queue_dir, "failed"), f"{job_id}.json")
+    if os.path.isfile(done_p) and os.path.isfile(failed_p):
+        try:
+            os.unlink(failed_p)
+        except FileNotFoundError:
+            pass
 
 
 def finish_job(queue_dir: str, job_id: str, ok: bool, result: dict) -> None:
@@ -111,9 +130,10 @@ def finish_job(queue_dir: str, job_id: str, ok: bool, result: dict) -> None:
     done/failed before running would matter for display only). The
     previous unlink-first order could LOSE the job outright: a crash
     after the unlink left it in no state dir at all, invisible to
-    requeue (ADVICE r3). Idempotent: the first finish wins — if a
-    terminal copy already exists, this call only retires the stale
-    running copy."""
+    requeue (ADVICE r3). Idempotent: if a terminal copy already exists,
+    this call only retires the stale running copy; two finishers racing
+    through the exists-check resolve deterministically via
+    _reconcile_terminal (done wins)."""
     src = os.path.join(_state_dir(queue_dir, "running"), f"{job_id}.json")
     if _terminal_path(queue_dir, job_id) is not None:
         try:
@@ -131,6 +151,7 @@ def finish_job(queue_dir: str, job_id: str, ok: bool, result: dict) -> None:
         json.dump(body, f)
     dst_state = "done" if ok else "failed"
     os.replace(tmp, os.path.join(_state_dir(queue_dir, dst_state), f"{job_id}.json"))
+    _reconcile_terminal(queue_dir, job_id)  # racing finishers: done wins
     try:
         os.unlink(src)
     except FileNotFoundError:
@@ -149,6 +170,9 @@ def requeue_running(queue_dir: str) -> list[str]:
     no-live-worker precondition."""
     ensure_queue(queue_dir)
     moved = []
+    # repair finishers that crashed inside the dual-terminal window
+    for job_id in list_jobs(queue_dir, "failed"):
+        _reconcile_terminal(queue_dir, job_id)
     for job_id in list_jobs(queue_dir, "running"):
         src = os.path.join(_state_dir(queue_dir, "running"), f"{job_id}.json")
         if _terminal_path(queue_dir, job_id) is not None:
@@ -163,8 +187,11 @@ def requeue_running(queue_dir: str) -> list[str]:
             moved.append(job_id)
         except OSError:
             continue
+    # sweep only FINISH-path tmp files: enqueue tmps (_tmp-{id}.json)
+    # belong to live drivers, which the no-live-WORKER precondition
+    # says nothing about — sweeping one would lose a job mid-submit
     for name in os.listdir(queue_dir):
-        if name.startswith("_tmp-") and name.endswith(".json"):
+        if name.startswith("_tmp-fin-") and name.endswith(".json"):
             try:
                 os.unlink(os.path.join(queue_dir, name))
             except FileNotFoundError:

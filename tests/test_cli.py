@@ -203,3 +203,57 @@ def test_jobqueue_finish_crash_windows_never_lose_the_job(tmp_path):
     assert job_status(q, jid2)["state"] == "failed"
     # the orphan tmp file was swept by requeue (no-live-worker path)
     assert not [f for f in os.listdir(q) if f.startswith("_tmp-")]
+
+
+def test_jobqueue_dual_terminal_resolves_done_wins_and_enqueue_tmp_survives(tmp_path):
+    """Two finishers racing through the terminal-exists check can
+    publish done/ AND failed/ copies of one job; the reconcile rule is
+    deterministic (done wins — a success is never invalidated by a
+    stale claimant's failure report) and runs both at finish time and
+    in the requeue sweep. The sweep must also leave ENQUEUE tmp files
+    (_tmp-{id}.json, owned by a live driver mid-submit) alone while
+    sweeping finish tmps."""
+    import json
+    import os
+
+    from intelligent_ocr_ray.state.jobqueue import (
+        claim_next_job,
+        finish_job,
+        job_status,
+        list_jobs,
+        requeue_running,
+        submit_job,
+    )
+
+    q = str(tmp_path / "q")
+    jid = submit_job(q, {"input": "i", "out": "o"})
+    claim_next_job(q)
+    # SEQUENTIAL duplicate finishes resolve first-wins (idempotence):
+    # a finisher that sees an existing terminal copy only retires the
+    # running copy, never publishes a second state
+    with open(os.path.join(q, "running", f"{jid}.json"), encoding="utf-8") as f:
+        body = json.load(f)
+    with open(os.path.join(q, "failed", f"{jid}.json"), "w", encoding="utf-8") as f:
+        json.dump(dict(body, error="first finish"), f)
+    finish_job(q, jid, True, {"complete": True, "rows_out": 3})
+    assert list_jobs(q, "failed") == [jid] and list_jobs(q, "done") == []
+    assert job_status(q, jid)["state"] == "failed"
+
+    # crashed-in-window variant: both terminal copies on disk, no
+    # finisher alive — the requeue sweep repairs it the same way
+    jid2 = submit_job(q, {"input": "i2", "out": "o2"})
+    claim_next_job(q)
+    finish_job(q, jid2, True, {"complete": True})
+    with open(os.path.join(q, "failed", f"{jid2}.json"), "w", encoding="utf-8") as f:
+        json.dump({"job_id": jid2, "error": "crashed loser"}, f)
+    # enqueue tmp of a concurrent mid-submit driver + an orphaned finish tmp
+    enq_tmp = os.path.join(q, "_tmp-99999999999999999999-00001.json")
+    fin_tmp = os.path.join(q, f"_tmp-fin-{jid2}.json")
+    for p in (enq_tmp, fin_tmp):
+        with open(p, "w", encoding="utf-8") as f:
+            f.write("{}")
+    requeue_running(q)
+    assert list_jobs(q, "done") == [jid2]
+    assert list_jobs(q, "failed") == [jid]  # jid's first-wins result stands
+    assert os.path.exists(enq_tmp)      # live driver's submit survives
+    assert not os.path.exists(fin_tmp)  # finish tmp swept
