@@ -345,10 +345,25 @@ def _final_topk(group: pa.Table, k: int) -> pa.Table:
     )
 
 
-def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10, *, concurrency=2):
+def _topk_partial_task(batch: pa.Table, *, queries_ref, k: int) -> pa.Table:
+    """Stateless-task form of TopKPartial: the broadcast query matrix is
+    a zero-copy plasma read per task (µs — numpy over shared memory),
+    so the stage runs with ELASTIC parallelism instead of a fixed actor
+    pool. The same fixed-2-actor shape was measured as the whole
+    pipeline's bottleneck for minhash; the actor form remains available
+    via ``concurrency``."""
+    return TopKPartial(queries_ref, k)(batch)
+
+
+def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10, *, concurrency=None):
     """Exact cosine top-k per query vector: broadcast queries (pruned
     predicate-pushdown read — the corpus table is never loaded on the
-    driver) → per-batch partial top-k → per-query final reduce."""
+    driver) → per-batch partial top-k → per-query final reduce.
+
+    ``concurrency=None`` (default) runs the partial stage as elastic
+    tasks; pass an int to pin an actor pool instead (useful when
+    embedding this stage in a larger job that must not grab every
+    core)."""
     import functools
     import os
 
@@ -358,14 +373,21 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10, *, concurrency=2):
     path = os.path.join(sf_dir, "embeddings.parquet")
     queries_ref = ray.put(load_queries(path, n_queries))
     ds = read_embeddings(path)
-    partial = ds.map_batches(
-        TopKPartial,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-        num_cpus=0.5,
-    )
+    if concurrency is None:
+        partial = ds.map_batches(
+            functools.partial(_topk_partial_task, queries_ref=queries_ref, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        partial = ds.map_batches(
+            TopKPartial,
+            fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+            num_cpus=0.5,
+        )
     return partial.groupby("query_id").map_groups(
         functools.partial(_final_topk, k=k), batch_format="pyarrow"
     )
