@@ -4,7 +4,7 @@ completes with a clean audit and (b) Ray actually spilled — evidence
 the pipeline leans on streaming + spill rather than assuming the corpus
 fits in plasma (the "let the object store spill" design rule).
 
-Usage: PYTHONPATH=/root/repo python tools/spill_check.py [n_convs]
+Usage: PYTHONPATH=/root/repo python tools/spill_check.py [n_convs] [store_mb]
 Prints one JSON line {completed, rows, spilled_mb}.
 """
 
@@ -20,12 +20,13 @@ import sys
 
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000  # ~0.8M turns
+    store_mb = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     import ray
 
     ctx = ray.init(
         address="local",
         num_cpus=8,
-        object_store_memory=200 * 1024 * 1024,  # ~200 MB — far below the working set
+        object_store_memory=store_mb * 1024 * 1024,  # far below the working set
         include_dashboard=False,
         logging_level="ERROR",
     )
