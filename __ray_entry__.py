@@ -7,13 +7,14 @@ Each ``queries()`` entry is one implemented operator/pipeline from
 SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` carries the
 DuckDB-equivalent SQL for every SQL-expressible entry — column names
 match exactly (the driver hashes values after sorting columns by name).
-The two remaining non-SQL-expressible entries (the full extractor over
-transcripts and the stubbed multimodal codecs) are rows-only checked by
-the driver and verified instead by the in-repo serial-oracle pytest
-suite; everything else — including minhash/simhash (md5-derived modular
-hash arithmetic the oracle replays), the end-to-end near-dedup
-(recursive-CTE closure) and the bucketed ANN variants (exhaustive
-configs ≡ exact) — is hash-verified cell-for-cell.
+Every entry is hash-verified cell-for-cell — including the flagship
+``extract_transcripts`` (full-row oracle with a generic SQL re-parse of
+the %LAYOUT grammar and a translate() replay of the variant table; see
+``_extract_full_sql``), minhash/simhash (md5-derived modular hash
+arithmetic the oracle replays), the end-to-end near-dedup
+(recursive-CTE closure), the bucketed ANN variants (exhaustive configs
+≡ exact), html_extract / pdfish_extract / multimodal_decode (arithmetic
+derivation corpora).
 """
 
 from __future__ import annotations
@@ -924,8 +925,173 @@ SELECT status, route, count(*) AS n FROM cls GROUP BY status, route
 """
 
 
+# Layout-line capture form of functions/extract.py's _LAYOUT_LINE_RE —
+# same grammar as _LAYOUT_LINE_SQL but with the six capture groups the
+# span parse needs (RE2 on both engines; non-capturing decimals).
+_LAYOUT_CAP_SQL = (
+    r"'^[ \t\r\n]*(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?),"
+    r"(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)\|(.*)$'"
+)
+
+
+def _variant_translate_literals() -> tuple[str, str]:
+    """(from_chars, to_chars) for DuckDB ``translate`` — a verbatim SQL
+    replay of VariantMapper.normalize (char→char map, first-wins;
+    functions/variants.py). No quoting hazards: the table is CJK-only."""
+    from intelligent_ocr_ray.functions.variants import load_variants
+
+    mapping = load_variants()
+    return "".join(mapping.keys()), "".join(mapping.values())
+
+
+def _extract_full_sql() -> str:
+    """Full-row oracle for the flagship ``extract_transcripts`` query —
+    every output column (route, extracted_text, text_normalized, status,
+    error) derived in DuckDB SQL for every route the documents-derived
+    transcript corpus can produce:
+
+    * blank / plain / plain_long — trim + threshold arithmetic (the
+      corpus is pure ASCII at every SF, so NFKC is the identity; a
+      non-ASCII compat char would surface as a loud hash mismatch, never
+      a silent pass);
+    * pdfish — a GENERIC re-parse of the ``%LAYOUT`` grammar in SQL
+      (line split → capture-group extract → confidence filter →
+      vertical/horizontal split → reading-order string_agg), not an
+      arithmetic derivation: this is a second, independent parser
+      implementation (the derivation-style oracle for this branch is
+      ``pdfish_extract``, sources/layout.py);
+    * pdfish parse failure — fallback-copy row with route='error',
+      status='fallback' and the exact ExtractError message (the
+      malformed-line repr is derived only for plain printable lines
+      without quotes/backslashes — anything else yields NULL and a loud
+      mismatch);
+    * variant dual emission — ``translate()`` replays the CJK variant
+      table verbatim (same file, same first-wins order);
+    * html — extracted_text NULL: boilerplate stripping (entity
+      unescape) is not generically SQL-expressible, so an html-routed
+      row would mismatch LOUDLY; the branch has its own cell-level
+      derivation oracle (``html_extract``, sources/htmlsrc.py) and
+      cannot occur in this corpus (word-soup text has no paired tags).
+
+    Truncation (max_payload_chars=1e6) is omitted: max document length
+    is <1k at every SF and the guard is pinned by pytest separately.
+    """
+    frm, to = _variant_translate_literals()
+    return f"""
+WITH t AS ({SQL_DERIVATION}),
+r AS (SELECT conv_id, turn_idx, text,
+             coalesce(trim(text, {_WS_TRIM}), '') AS s FROM t),
+c AS (
+  SELECT *,
+         (s = '' OR regexp_matches(s, {_NOISE_RE})) AS is_blank,
+         starts_with(s, '%LAYOUT') AS is_pdfish,
+         (regexp_matches(text, {_HTML_OPEN_RE})
+          AND regexp_matches(text, {_HTML_CLOSE_RE})) AS is_html
+  FROM r
+),
+p AS (
+  SELECT *,
+         CASE WHEN is_pdfish
+              THEN trim(string_split(s, chr(10))[1], {_WS_TRIM}) = '%LAYOUT'
+              ELSE FALSE END AS header_ok,
+         CASE WHEN is_pdfish THEN string_split(s, chr(10))[2:]
+              ELSE CAST([] AS VARCHAR[]) END AS body_lines
+  FROM c
+),
+pp AS (
+  SELECT *,
+         header_ok AND len(list_filter(body_lines,
+             x -> trim(x, {_WS_TRIM}) <> ''
+                  AND NOT regexp_matches(x, {_LAYOUT_LINE_SQL}))) = 0 AS pdfish_ok
+  FROM p
+),
+-- pdfish spans: explode non-blank body lines with their 1-based index
+pl AS (
+  SELECT conv_id, turn_idx, u['i'] AS i, u['line'] AS line
+  FROM (SELECT conv_id, turn_idx,
+               unnest(list_transform(body_lines, (x, j) -> {{'line': x, 'i': j}})) AS u
+        FROM pp WHERE is_pdfish AND pdfish_ok AND NOT is_blank)
+  WHERE trim(u['line'], {_WS_TRIM}) <> ''
+),
+pg AS (
+  SELECT conv_id, turn_idx, i,
+         regexp_extract(line, {_LAYOUT_CAP_SQL},
+                        ['x0', 'y0', 'x1', 'y1', 'conf', 'txt']) AS g
+  FROM pl
+),
+pk AS (
+  SELECT conv_id, turn_idx, i,
+         CAST(g['x0'] AS DOUBLE) AS x0, CAST(g['y0'] AS DOUBLE) AS y0,
+         CAST(g['x1'] AS DOUBLE) AS x1, CAST(g['y1'] AS DOUBLE) AS y1,
+         trim(g['txt'], {_WS_TRIM}) AS norm
+  FROM pg WHERE CAST(g['conf'] AS DOUBLE) >= 0.5
+),
+pv AS (SELECT * FROM pk WHERE norm <> ''),
+pagg AS (
+  SELECT conv_id, turn_idx,
+         string_agg(norm, chr(10) ORDER BY
+                    (y1 - y0) > 2.0 * (x1 - x0),
+                    CASE WHEN (y1 - y0) > 2.0 * (x1 - x0) THEN -x1 ELSE y0 END,
+                    CASE WHEN (y1 - y0) > 2.0 * (x1 - x0) THEN y0 ELSE x0 END,
+                    i) AS ext
+  FROM pv GROUP BY conv_id, turn_idx
+),
+-- first malformed body line of each failed-parse payload (1-based index
+-- matches the parser's enumerate(lines[1:]) + 1)
+pbad AS (
+  SELECT conv_id, turn_idx, min_by(u, u['i']) AS first_bad
+  FROM (SELECT conv_id, turn_idx,
+               unnest(list_transform(body_lines, (x, j) -> {{'line': x, 'i': j}})) AS u
+        FROM pp WHERE is_pdfish AND header_ok AND NOT pdfish_ok)
+  WHERE trim(u['line'], {_WS_TRIM}) <> ''
+        AND NOT regexp_matches(u['line'], {_LAYOUT_LINE_SQL})
+  GROUP BY conv_id, turn_idx
+),
+base AS (
+  SELECT pp.conv_id, pp.turn_idx,
+         CASE WHEN is_blank THEN 'blank'
+              WHEN is_pdfish AND NOT pdfish_ok THEN 'error'
+              WHEN is_pdfish THEN 'pdfish'
+              WHEN is_html THEN 'html'
+              WHEN length(s) > 50 THEN 'plain_long'
+              ELSE 'plain' END AS route,
+         CASE WHEN is_blank THEN ''
+              WHEN is_pdfish AND NOT pdfish_ok THEN text
+              WHEN is_pdfish THEN coalesce(pagg.ext, '')
+              WHEN is_html THEN NULL
+              WHEN length(s) > 50 THEN text
+              ELSE s END AS extracted_text,
+         CASE WHEN is_blank THEN 'skipped'
+              WHEN is_pdfish AND NOT pdfish_ok THEN 'fallback'
+              ELSE 'ok' END AS status,
+         CASE WHEN is_pdfish AND NOT header_ok
+                THEN 'ExtractError: pdfish payload missing %LAYOUT header'
+              WHEN is_pdfish AND NOT pdfish_ok
+                THEN 'ExtractError: malformed layout line '
+                     || CAST(first_bad['i'] AS VARCHAR) || ': '
+                     || CASE WHEN regexp_matches(left(first_bad['line'], 80),
+                                                 '[''"\\\\]|[^ -~]')
+                             THEN NULL
+                             ELSE chr(39) || left(first_bad['line'], 80) || chr(39)
+                        END
+              ELSE NULL END AS error
+  FROM pp
+  LEFT JOIN pagg ON pagg.conv_id = pp.conv_id AND pagg.turn_idx = pp.turn_idx
+  LEFT JOIN pbad ON pbad.conv_id = pp.conv_id AND pbad.turn_idx = pp.turn_idx
+)
+SELECT conv_id, turn_idx, route, extracted_text,
+       CASE WHEN status = 'ok' AND extracted_text IS NOT NULL
+                 AND translate(extracted_text, '{frm}', '{to}') <> extracted_text
+            THEN translate(extracted_text, '{frm}', '{to}')
+            ELSE NULL END AS text_normalized,
+       status, error
+FROM base
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_transcripts": _extract_full_sql(),
         "extract_passthrough": _PASSTHROUGH_SQL,
         "status_profile": _STATUS_PROFILE_SQL,
         "pdfish_extract": _LAYOUT_SQL,
