@@ -125,6 +125,27 @@ def _q_lang_id(sf_dir: str):
     ).select_columns(["doc_id", "lang_guess"])
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals (top-token / top-bigram
+    fractions); exact string distinctness via dictionary encode."""
+    from intelligent_ocr_ray.stages.text_stats import repetition_stats_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        repetition_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_window_dedup(sf_dir: str):
+    """C4-style sub-document exact dedup: global keep-first over fixed
+    8-token windows; doc text crosses the wire once (narrow winner
+    election + engine hash join)."""
+    from intelligent_ocr_ray.stages.corpus import window_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return window_dedup(ds, window_tokens=8)
+
+
 def _q_token_stats_bpe(sf_dir: str):
     from intelligent_ocr_ray.stages.text_stats import bpe_token_count_batch
 
@@ -603,6 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_transcripts": _q_extract_transcripts,
         "extract_passthrough": _q_extract_passthrough,
         "token_stats": _q_token_stats,
+        "repetition_stats": _q_repetition_stats,
+        "window_dedup": _q_window_dedup,
         "quality_stats": _q_quality_stats,
         "lang_id": _q_lang_id,
         "lang_profile": _q_lang_profile,
@@ -1124,6 +1147,74 @@ def oracle_sql() -> dict[str, str]:
                         WHEN regexp_matches(text, '\\b(the|and|of|to|in|is|a)\\b') THEN 'en'
                         ELSE 'other' END AS lang_guess
             FROM documents
+        """,
+        "repetition_stats": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), {_TOKEN_RE_SQL}) AS t
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, len(t) AS n_tokens,
+                     len(list_distinct(t)) AS n_distinct
+              FROM toks
+            ),
+            tc AS (
+              SELECT doc_id, max(cnt) AS max_tok
+              FROM (SELECT doc_id, count(*) AS cnt
+                    FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+                    GROUP BY doc_id, tok)
+              GROUP BY doc_id
+            ),
+            bi AS (
+              SELECT doc_id, max(cnt) AS max_bi
+              FROM (SELECT doc_id, count(*) AS cnt
+                    FROM (SELECT doc_id,
+                                 unnest(list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i + 1])) AS bg
+                          FROM toks WHERE len(t) > 1)
+                    GROUP BY doc_id, bg)
+              GROUP BY doc_id
+            )
+            SELECT b.doc_id, n_tokens, n_distinct,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(n_distinct AS DOUBLE) / n_tokens
+                        ELSE 0.0 END AS distinct_ratio,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(coalesce(max_tok, 0) AS DOUBLE) / n_tokens
+                        ELSE 0.0 END AS top_token_frac,
+                   CASE WHEN n_tokens > 1
+                        THEN CAST(coalesce(max_bi, 0) AS DOUBLE) / (n_tokens - 1)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM base b LEFT JOIN tc USING (doc_id) LEFT JOIN bi USING (doc_id)
+        """,
+        "window_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), {_TOKEN_RE_SQL}) AS t
+              FROM documents
+            ),
+            nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+            ch AS (
+              SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+                     array_to_string(t[ci * 8 + 1 : least((ci + 1) * 8, n)], ' ')
+                       AS chunk_text
+              FROM (SELECT doc_id, t, n,
+                           unnest(range(0, (n + 7) // 8)) AS ci
+                    FROM nz)
+            ),
+            win AS (
+              SELECT doc_id, chunk_idx, chunk_text,
+                     row_number() OVER (PARTITION BY chunk_text
+                                        ORDER BY doc_id, chunk_idx) = 1 AS kept
+              FROM ch
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                              FILTER (WHERE kept), '') AS text_deduped,
+                   count(*) FILTER (WHERE kept) AS n_kept,
+                   count(*) FILTER (WHERE NOT kept) AS n_dropped
+            FROM win GROUP BY doc_id
         """,
         "token_stats_bpe": f"""
             SELECT doc_id,

@@ -520,3 +520,205 @@ def top_docs_per_group(
         zero_copy_batch=True,
         batch_size=None,
     )
+
+
+# --- window-level exact dedup (C4/RefinedWeb-style) ------------------------
+
+WINDOW_TOKENS = 8
+
+
+def window_dedup(
+    ds,
+    *,
+    window_tokens: int = WINDOW_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = 64,
+    join_partitions: int = 8,
+):
+    """Global keep-first dedup of fixed non-overlapping token windows —
+    the sub-document exact-dedup step of C4-style pipelines (drop a
+    window when the identical window text appeared earlier in
+    (doc_id, window_idx) order), re-derived from the public pipeline
+    descriptions. Emits one row per non-empty document:
+    (id, text_deduped = space-join of surviving windows in order,
+    n_kept, n_dropped).
+
+    Scale shape (document text crosses the wire ONCE):
+    1. map: chunk each doc (vectorized ``chunk_tokens_batch``), reduce
+       every window to (id, window_idx, 32-hex md5) — the narrow rows
+       are all the winner election sees;
+    2. winner election: hash-partition the digest space COARSELY
+       (``num_parts``), one vectorized pass per partition (dictionary
+       encode + lexsort run detection; min (id, idx) wins per digest)
+       → kept (id, window_idx) pairs;
+    3. kept indices aggregate to one list per doc (pyarrow C++
+       ``list`` aggregate inside coarse doc partitions);
+    4. engine-native hash join (docs ⋈ kept-lists, left outer) ships
+       each doc's text once; the final map re-chunks deterministically
+       and reassembles surviving windows.
+
+    The DuckDB oracle mirrors with row_number() OVER (PARTITION BY
+    window text ORDER BY id, idx) = 1.
+    """
+    import functools
+
+    from .dedup import add_content_hash
+
+    def narrow_keys(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        chunks = chunk_tokens_batch(
+            batch, chunk_size=window_tokens, id_col=id_col, text_col=text_col
+        )
+        hashed = add_content_hash(chunks, id_col=id_col, text_col="chunk_text")
+        digests = hashed.column("content_hash")
+        kpart = (
+            _pd.util.hash_array(np.asarray(digests, dtype=object)).astype(np.int64)
+            % num_parts
+        )
+        return pa.table(
+            {
+                id_col: hashed.column(id_col),
+                "chunk_idx": chunks.column("chunk_idx"),
+                "content_hash": digests,
+                "kpart": pa.array(kpart, pa.int32()),
+            }
+        )
+
+    def elect_winners(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "chunk_idx": pa.array([], pa.int64())}
+            )
+        codes = np.asarray(
+            part.column("content_hash").combine_chunks().dictionary_encode().indices,
+            dtype=np.int64,
+        )
+        ids = np.asarray(part.column(id_col), dtype=np.int64)
+        cidx = np.asarray(part.column("chunk_idx"), dtype=np.int64)
+        order = np.lexsort((cidx, ids, codes))
+        first = np.concatenate([[True], codes[order][1:] != codes[order][:-1]])
+        win = order[first]
+        return pa.table(
+            {
+                id_col: pa.array(ids[win], pa.int64()),
+                "chunk_idx": pa.array(cidx[win], pa.int64()),
+            }
+        )
+
+    def kept_lists(part: pa.Table) -> pa.Table:
+        g = part.group_by([id_col]).aggregate([("chunk_idx", "list")])
+        # Acero hash joins reject list-typed payload columns — carry the
+        # kept indexes as one comma-joined string per doc instead
+        idx_str = pc.binary_join(
+            pc.cast(g.column("chunk_idx_list"), pa.list_(pa.string())), ","
+        )
+        return pa.table({id_col: g.column(id_col), "kept_idxs": idx_str})
+
+    def assemble(batch: pa.Table) -> pa.Table:
+        chunks = chunk_tokens_batch(
+            batch, chunk_size=window_tokens, id_col=id_col, text_col=text_col
+        )
+        if chunks.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "text_deduped": pa.array([], pa.string()),
+                    "n_kept": pa.array([], pa.int64()),
+                    "n_dropped": pa.array([], pa.int64()),
+                }
+            )
+        # rebuild the per-input-row chunk layout (doc-major, idx asc)
+        ids_in = np.asarray(batch.column(id_col), dtype=np.int64)
+        chunk_ids = np.asarray(chunks.column(id_col), dtype=np.int64)
+        chunk_ci = np.asarray(chunks.column("chunk_idx"), dtype=np.int64)
+        stride = int(chunk_ci.max()) + 1
+        chunk_key = chunk_ids * stride + chunk_ci
+
+        kept_str = batch.column("kept_idxs")
+        if isinstance(kept_str, pa.ChunkedArray):
+            kept_str = kept_str.combine_chunks()
+        kept_str = kept_str.fill_null("")
+        lists = pc.split_pattern(kept_str, ",")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        # a doc with no surviving windows carries '' which splits to [''];
+        # treat it as the empty list
+        has_any = np.asarray(pc.greater(pc.utf8_length(kept_str), 0))
+        flat_str = lists.flatten()
+        flat_str = flat_str.filter(pc.not_equal(flat_str, ""))
+        flat_kept = np.asarray(pc.cast(flat_str, pa.int64()), dtype=np.int64)
+        lens = np.where(
+            has_any, np.asarray(pc.list_value_length(lists), dtype=np.int64), 0
+        )
+        kept_doc = np.repeat(ids_in, lens)
+        kept_key = np.sort(kept_doc * stride + flat_kept)
+        if len(kept_key):
+            pos = np.searchsorted(kept_key, chunk_key)
+            hit = pos < len(kept_key)
+            mask = hit & (kept_key[np.minimum(pos, len(kept_key) - 1)] == chunk_key)
+        else:
+            mask = np.zeros(len(chunk_key), dtype=bool)
+
+        # map each chunk back to its batch row (ids_in need not be sorted)
+        order_in = np.argsort(ids_in, kind="stable")
+        row_of_chunk = order_in[np.searchsorted(ids_in[order_in], chunk_ids)]
+        n_total = np.bincount(row_of_chunk, minlength=len(ids_in))
+        n_kept = np.bincount(row_of_chunk[mask], minlength=len(ids_in))
+        present = n_total > 0  # zero-token docs emit no row (mirrors oracle)
+
+        # surviving windows ordered by (batch row, window idx), then one
+        # binary_join per doc via list offsets
+        korder = np.lexsort((chunk_ci[mask], row_of_chunk[mask]))
+        ktext = chunks.column("chunk_text").filter(pa.array(mask)).take(pa.array(korder))
+        if isinstance(ktext, pa.ChunkedArray):
+            ktext = ktext.combine_chunks()
+        out_rows = np.flatnonzero(present)
+        counts = n_kept[out_rows]
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), ktext),
+            " ",
+        )
+        text_out = joined.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids_in[out_rows], pa.int64()),
+                "text_deduped": pa.array(text_out, pa.string()),
+                "n_kept": pa.array(n_kept[out_rows], pa.int64()),
+                "n_dropped": pa.array(
+                    (n_total - n_kept)[out_rows], pa.int64()
+                ),
+            }
+        )
+
+    narrow = ds.map_batches(narrow_keys, batch_format="pyarrow", zero_copy_batch=True)
+    winners = narrow.groupby("kpart").map_groups(
+        elect_winners, batch_format="pyarrow"
+    )
+    dparted = winners.map_batches(
+        lambda t: t.append_column(
+            "dpart",
+            pa.array(
+                (np.asarray(t.column(id_col), dtype=np.int64) % num_parts).astype(
+                    np.int32
+                )
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    kept = dparted.groupby("dpart").map_groups(
+        lambda t: kept_lists(t.drop_columns(["dpart"])), batch_format="pyarrow"
+    )
+    joined = ds.join(
+        kept,
+        join_type="left_outer",
+        num_partitions=join_partitions,
+        on=(id_col,),
+    )
+    return joined.map_batches(
+        assemble, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -199,6 +199,101 @@ def rolling_fingerprint(text: str) -> int:
     return h
 
 
+def repetition_stats_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Gopher-style repetition signals per document: token count,
+    distinct-token count/ratio, top-token fraction and top-bigram
+    fraction (Rae et al. 2021 §A1.1 repetition filters, re-derived from
+    the public description — high top-n-gram fractions mark boilerplate
+    and degenerate text).
+
+    Fully vectorized: one regex split, one dictionary encode (exact
+    distinctness on STRINGS — integer codes, no hash collisions), then
+    np.unique/bincount/maximum.at over (row, code) and (row, code,
+    code') keys. Ratios are single exact IEEE divisions so the DuckDB
+    oracle reproduces them bit-for-bit.
+    """
+    ids = batch.column(id_col)
+    text = pc.coalesce(batch.column(text_col), pa.scalar("", pa.string()))
+    trimmed = pc.utf8_trim(text, " \t\r\n")
+    n_rows = batch.num_rows
+    nonempty = np.asarray(pc.greater(pc.utf8_length(trimmed), 0))
+    n_tokens = np.zeros(n_rows, np.int64)
+    n_distinct = np.zeros(n_rows, np.int64)
+    max_tok = np.zeros(n_rows, np.int64)
+    max_bi = np.zeros(n_rows, np.int64)
+    if nonempty.any():
+        sub_rows = np.flatnonzero(nonempty)
+        toks = pc.split_pattern_regex(
+            trimmed.filter(pa.array(nonempty)), "[ \t\r\n]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        enc = flat.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        v = max(len(enc.dictionary), 1)
+        n_sub = len(sub_rows)
+        per_sub = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        row_of = np.repeat(np.arange(n_sub, dtype=np.int64), per_sub)
+
+        key = row_of * v + codes
+        uk, uc = np.unique(key, return_counts=True)
+        urow = uk // v
+        nd_sub = np.bincount(urow, minlength=n_sub)
+        mt_sub = np.zeros(n_sub, np.int64)
+        np.maximum.at(mt_sub, urow, uc)
+
+        mb_sub = np.zeros(n_sub, np.int64)
+        if len(codes) > 1:
+            same = row_of[1:] == row_of[:-1]
+            if same.any():
+                brow = row_of[:-1][same]
+                c1 = codes[:-1][same]
+                c2 = codes[1:][same]
+                if (n_sub + 1) * v * v < (1 << 62):
+                    bkey = (brow * v + c1) * v + c2
+                    ubk, ubc = np.unique(bkey, return_counts=True)
+                    ubrow = ubk // (v * v)
+                else:  # huge vocab: collision-free via lexsort runs
+                    order = np.lexsort((c2, c1, brow))
+                    bs = np.stack([brow[order], c1[order], c2[order]])
+                    new = np.concatenate(
+                        [[True], (bs[:, 1:] != bs[:, :-1]).any(axis=0)]
+                    )
+                    gid = np.cumsum(new) - 1
+                    ubc = np.bincount(gid)
+                    ubrow = bs[0][new]
+                np.maximum.at(mb_sub, ubrow, ubc)
+
+        n_tokens[sub_rows] = per_sub
+        n_distinct[sub_rows] = nd_sub
+        max_tok[sub_rows] = mt_sub
+        max_bi[sub_rows] = mb_sub
+
+    nt_f = n_tokens.astype(np.float64)
+    distinct_ratio = np.divide(
+        n_distinct, nt_f, out=np.zeros(n_rows), where=n_tokens > 0
+    )
+    top_token_frac = np.divide(
+        max_tok, nt_f, out=np.zeros(n_rows), where=n_tokens > 0
+    )
+    top_bigram_frac = np.divide(
+        max_bi, nt_f - 1.0, out=np.zeros(n_rows), where=n_tokens > 1
+    )
+    return pa.table(
+        {
+            id_col: ids,
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "distinct_ratio": pa.array(distinct_ratio, pa.float64()),
+            "top_token_frac": pa.array(top_token_frac, pa.float64()),
+            "top_bigram_frac": pa.array(top_bigram_frac, pa.float64()),
+        }
+    )
+
+
 class Fingerprint:
     """Actor-pool stage: append `fingerprint` (int64) per row. The
     regex is compiled once per actor; per-row work is token hashing at

@@ -267,3 +267,83 @@ def test_vectorized_gram_hashing_parity_on_edge_texts():
     vals = np.asarray(SimHash()(batch).column("simhash")).astype(np.uint64)
     for i, t in enumerate(texts):
         assert int(vals[i]) == simhash64(t or "")
+
+
+def test_repetition_stats_matches_duckdb_on_edge_texts():
+    """Gopher repetition signals: exact parity (ratios are single IEEE
+    divisions) on degenerate inputs — empty, null, all-same-token,
+    alternating bigram loop, unicode tokens."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from intelligent_ocr_ray.stages.text_stats import repetition_stats_batch
+
+    texts = ["", "   ", None, "a", "a a", "a a a b", "x y x y x y",
+             "b b b b b b b b", "p q p q r r r", "漢字 漢字 テスト",
+             "one two three four five"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = (
+        repetition_stats_batch(tbl)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.sql(entry.oracle_sql()["repetition_stats"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in got.columns:
+        assert got[c].tolist() == want[c].tolist(), c
+    # the fixture exercises the signals: a doc with max repetition...
+    allb = got.iloc[7]
+    assert allb["distinct_ratio"] == 1 / 8 and allb["top_token_frac"] == 1.0
+    # ...and the alternating loop where the top bigram dominates
+    loop = got.iloc[6]
+    assert loop["top_bigram_frac"] == 3 / 5
+
+
+def test_window_dedup_matches_duckdb_and_keeps_first():
+    """C4-style window dedup: global keep-first over 8-token windows,
+    cross-doc and within-doc duplicates, all-dropped docs, empty docs."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from intelligent_ocr_ray.stages.corpus import window_dedup
+
+    texts = [
+        "a b c d e f g h i j",               # 2 windows
+        "a b c d e f g h x y",               # window 0 duplicate of doc0's
+        "",                                   # no row
+        "i j",                                # duplicate of doc0 window 1
+        "q r s t u v w x q r s t u v w x",    # within-doc duplicate window
+        "z " * 24,                            # 3 identical windows
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = (
+        window_dedup(rd.from_arrow(tbl), window_tokens=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.sql(entry.oracle_sql()["window_dedup"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "text_deduped", "n_kept", "n_dropped"):
+        assert got[c].tolist() == want[c].tolist(), c
+    by_id = got.set_index("doc_id")
+    assert len(got) == 5  # the empty doc emits no row
+    assert by_id.loc[1, "text_deduped"] == "x y"       # first window deduped away
+    assert by_id.loc[3, "n_kept"] == 0 and by_id.loc[3, "text_deduped"] == ""
+    assert by_id.loc[4, "n_kept"] == 1 and by_id.loc[4, "n_dropped"] == 1
+    assert by_id.loc[5, "n_kept"] == 1 and by_id.loc[5, "n_dropped"] == 2

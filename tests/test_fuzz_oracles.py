@@ -30,6 +30,8 @@ FAST_PROFILE = [
     "events_sessions",
     "fingerprint",
     "pii_scrub",
+    "repetition_stats",
+    "window_dedup",
 ]
 
 

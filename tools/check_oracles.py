@@ -39,7 +39,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main(sf_dir: str, only: list[str] | None = None):
+def main(sf_dir: str, only: list[str] | None = None, skip: dict[str, str] | None = None):
     import ray
 
     if not ray.is_initialized():
@@ -62,6 +62,9 @@ def main(sf_dir: str, only: list[str] | None = None):
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if skip and name in skip:
+            print(f"{name:24s} SKIP ({skip[name]})")
             continue
         got = canon(to_pandas(fn(sf_dir)))
         if name not in oracles:
