@@ -139,11 +139,36 @@ def _q_repetition_stats(sf_dir: str):
 def _q_window_dedup(sf_dir: str):
     """C4-style sub-document exact dedup: global keep-first over fixed
     8-token windows; doc text crosses the wire once (narrow winner
-    election + engine hash join)."""
+    election + engine hash join). Partition counts follow DATA (the
+    sized-read discipline): ~500k windows per digest partition,
+    estimated from parquet byte size (~6 bytes/token)."""
+    import math
+    import os as _os
+
     from intelligent_ocr_ray.stages.corpus import window_dedup
 
+    path = _os.path.join(sf_dir, "documents.parquet")
+    est_windows = _os.path.getsize(path) / (6 * 8)
+    num_parts = max(4, min(4096, math.ceil(est_windows / 500_000)))
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return window_dedup(ds, window_tokens=8)
+    return window_dedup(
+        ds, window_tokens=8, num_parts=num_parts,
+        join_partitions=max(4, min(64, num_parts)),
+        # small-side crossover: under ~5M windows the kept-index table
+        # is driver-collectable and the broadcast path skips the join
+        # operator's ~1.4 s aggregator-actor startup
+        broadcast_kept=est_windows < 5_000_000,
+    )
+
+
+def _q_pack_examples(sf_dir: str):
+    """GPT-style token-stream packing (docs split across fixed 256-token
+    example boundaries) via a two-pass distributed ordered prefix scan —
+    no global sort; only per-bucket sums reach the driver."""
+    from intelligent_ocr_ray.stages.corpus import pack_examples
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return pack_examples(ds, context_tokens=256)
 
 
 def _q_token_stats_bpe(sf_dir: str):
@@ -626,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition_stats,
         "window_dedup": _q_window_dedup,
+        "pack_examples": _q_pack_examples,
         "quality_stats": _q_quality_stats,
         "lang_id": _q_lang_id,
         "lang_profile": _q_lang_profile,
@@ -1215,6 +1241,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE kept) AS n_kept,
                    count(*) FILTER (WHERE NOT kept) AS n_dropped
             FROM win GROUP BY doc_id
+        """,
+        "pack_examples": f"""
+            WITH n AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(coalesce(text, ''), {_TOKEN_RE_SQL}))
+                       AS n_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     -- SUM() OVER returns HUGEINT; pin BIGINT so the
+                     -- hashed dtypes match the Ray int64 columns
+                     CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS tok_offset
+              FROM n
+            )
+            SELECT doc_id, n_tokens, tok_offset,
+                   tok_offset // 256 AS first_example,
+                   (tok_offset + n_tokens - 1) // 256 AS last_example
+            FROM o WHERE n_tokens > 0
         """,
         "token_stats_bpe": f"""
             SELECT doc_id,

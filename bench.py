@@ -204,6 +204,8 @@ def run_bench() -> dict:
         "decontaminate",
         "top_docs_per_lang",
         "lang_rebalance",
+        "repetition_stats",
+        "window_dedup",
     ):
         if name not in qs or headline_only:
             continue

@@ -535,6 +535,7 @@ def window_dedup(
     text_col: str = "text",
     num_parts: int = 64,
     join_partitions: int = 8,
+    broadcast_kept: bool = False,
 ):
     """Global keep-first dedup of fixed non-overlapping token windows —
     the sub-document exact-dedup step of C4-style pipelines (drop a
@@ -557,6 +558,15 @@ def window_dedup(
     4. engine-native hash join (docs ⋈ kept-lists, left outer) ships
        each doc's text once; the final map re-chunks deterministically
        and reassembles surviving windows.
+
+    ``broadcast_kept=True`` replaces step 4's distributed join with a
+    driver collect + ``ray.put`` lookup — the decontaminate-style
+    small-side crossover: Ray's JoinOperator spins up hash-shuffle
+    aggregator actors (~1.4 s fixed wall on this box), which dominates
+    small corpora while the kept-index table is only
+    (id, csv-of-indexes) per doc. Callers flip it when the estimated
+    window count is driver-collectable (the query wrapper uses parquet
+    byte size); both paths are output-identical (pytest-pinned).
 
     The DuckDB oracle mirrors with row_number() OVER (PARTITION BY
     window text ORDER BY id, idx) = 1.
@@ -713,6 +723,36 @@ def window_dedup(
     kept = dparted.groupby("dpart").map_groups(
         lambda t: kept_lists(t.drop_columns(["dpart"])), batch_format="pyarrow"
     )
+
+    if broadcast_kept:
+        import ray as _ray
+
+        kdf = kept.to_pandas()
+        k_ids = kdf[id_col].to_numpy(dtype=np.int64)
+        k_strs = kdf["kept_idxs"].to_numpy(dtype=object)
+        order = np.argsort(k_ids, kind="stable")
+        lookup_ref = _ray.put((k_ids[order], k_strs[order]))
+
+        def attach_kept(batch: pa.Table) -> pa.Table:
+            ids_sorted, strs_sorted = _ray.get(lookup_ref)
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            pos = np.searchsorted(ids_sorted, ids)
+            if len(ids_sorted):
+                hit = (pos < len(ids_sorted)) & (
+                    ids_sorted[np.minimum(pos, len(ids_sorted) - 1)] == ids
+                )
+            else:
+                hit = np.zeros(len(ids), dtype=bool)
+            out = np.full(len(ids), None, dtype=object)
+            out[hit] = strs_sorted[pos[hit]]
+            return assemble(
+                batch.append_column("kept_idxs", pa.array(out, pa.string()))
+            )
+
+        return ds.map_batches(
+            attach_kept, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     joined = ds.join(
         kept,
         join_type="left_outer",
@@ -721,4 +761,103 @@ def window_dedup(
     )
     return joined.map_batches(
         assemble, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- sequence packing (ordered prefix scan) --------------------------------
+
+CONTEXT_TOKENS = 256
+PACK_BUCKET = 4096  # doc_ids per scan bucket
+
+
+def pack_examples(
+    ds,
+    *,
+    context_tokens: int = CONTEXT_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket: int = PACK_BUCKET,
+):
+    """GPT-style token-stream packing: concatenate every document's
+    tokens in ``id_col`` order and cut the stream into fixed
+    ``context_tokens`` examples (documents split across example
+    boundaries — the standard pretraining packing, no padding). Emits
+    one row per non-empty document: its global token offset and the
+    first/last example index it lands in.
+
+    The interesting primitive is the GLOBAL ORDERED PREFIX SUM, done as
+    a two-pass scan instead of a sort:
+
+    1. narrow pass: (id, n_tokens) per doc; per-bucket token sums
+       (bucket = id // ``bucket``) via one tiny groupby — only
+       #buckets rows reach the driver;
+    2. exclusive cumsum over the bucket sums on the driver (a few
+       thousand ints at any corpus size ~ total_ids/bucket), broadcast
+       via ``ray.put``;
+    3. one narrow groupby(bucket): each bucket sorts its own rows by id
+       (vectorized, bucket-local) and adds base + in-bucket exclusive
+       cumsum. No global sort, no all-to-all over text.
+
+    Determinism: offsets depend only on (id → n_tokens), never on block
+    layout. The DuckDB oracle is the plain window form
+    ``SUM(n) OVER (ORDER BY id) - n``.
+    """
+    import ray
+
+    def narrow_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        n = pc.cast(
+            pc.count_substring_regex(
+                pc.coalesce(batch.column(text_col), pa.scalar("", pa.string())),
+                TOKEN_PATTERN,
+            ),
+            pa.int64(),
+        )
+        b = pc.cast(
+            pc.divide(pc.cast(ids, pa.int64()), np.int64(bucket)), pa.int64()
+        )
+        return pa.table({id_col: ids, "n_tokens": n, "bucket": b})
+
+    narrow = ds.map_batches(
+        narrow_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # pass 1: bucket sums (tiny — one row per bucket)
+    from ray.data.aggregate import Sum
+
+    bucket_sums = narrow.groupby("bucket").aggregate(
+        Sum("n_tokens", alias_name="bucket_total")
+    ).to_pandas()
+    bucket_sums = bucket_sums.sort_values("bucket")
+    bases = dict(
+        zip(
+            bucket_sums["bucket"].tolist(),
+            np.concatenate([[0], np.cumsum(bucket_sums["bucket_total"].to_numpy())[:-1]]).tolist(),
+        )
+    )
+    bases_ref = ray.put(bases)
+
+    def scan_bucket(part: pa.Table) -> pa.Table:
+        base_map = ray.get(bases_ref)
+        ids = np.asarray(part.column(id_col), dtype=np.int64)
+        n = np.asarray(part.column("n_tokens"), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        n_sorted = n[order]
+        off = np.concatenate([[0], np.cumsum(n_sorted)[:-1]])
+        off += base_map[int(part.column("bucket")[0].as_py())]
+        keep = n_sorted > 0
+        ids_s, n_s, off_s = ids[order][keep], n_sorted[keep], off[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids_s, pa.int64()),
+                "n_tokens": pa.array(n_s, pa.int64()),
+                "tok_offset": pa.array(off_s, pa.int64()),
+                "first_example": pa.array(off_s // context_tokens, pa.int64()),
+                "last_example": pa.array(
+                    (off_s + n_s - 1) // context_tokens, pa.int64()
+                ),
+            }
+        )
+
+    return narrow.groupby("bucket").map_groups(
+        scan_bucket, batch_format="pyarrow"
     )

@@ -347,3 +347,60 @@ def test_window_dedup_matches_duckdb_and_keeps_first():
     assert by_id.loc[3, "n_kept"] == 0 and by_id.loc[3, "text_deduped"] == ""
     assert by_id.loc[4, "n_kept"] == 1 and by_id.loc[4, "n_dropped"] == 1
     assert by_id.loc[5, "n_kept"] == 1 and by_id.loc[5, "n_dropped"] == 2
+    # the broadcast small-side path is output-identical to the join path
+    bc = (
+        window_dedup(rd.from_arrow(tbl), window_tokens=8, broadcast_kept=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert bc.equals(got)
+
+
+def test_pack_examples_matches_window_scan_oracle():
+    """Distributed ordered prefix scan ≡ SUM() OVER (ORDER BY doc_id):
+    multiple scan buckets, docs spanning example boundaries, empty and
+    null docs contributing zero length (and emitting no row)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from intelligent_ocr_ray.stages.corpus import pack_examples
+
+    texts = [
+        "t " * 300,      # spans examples 0..1 alone
+        "a b c",
+        "",              # zero tokens -> no row, no offset contribution
+        None,
+        "d " * 250,      # crosses a 256 boundary mid-doc
+        "e",
+        "f " * 10,
+        "g " * 513,      # > 2 full examples
+        "h h h",
+        "i",
+        "j " * 100,
+        "k",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    # bucket=4 forces a multi-bucket scan (4 buckets over 12 ids)
+    got = (
+        pack_examples(rd.from_arrow(tbl), context_tokens=256, bucket=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.sql(entry.oracle_sql()["pack_examples"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_tokens", "tok_offset", "first_example", "last_example"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
+    # offsets are the exclusive prefix sum: consecutive and gap-free
+    nz = got.sort_values("doc_id")
+    assert (nz["tok_offset"] + nz["n_tokens"]).tolist()[:-1] == nz["tok_offset"].tolist()[1:]
+    # the fixture really exercises boundary spans
+    assert (nz["last_example"] > nz["first_example"]).any()

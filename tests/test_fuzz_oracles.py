@@ -32,6 +32,7 @@ FAST_PROFILE = [
     "pii_scrub",
     "repetition_stats",
     "window_dedup",
+    "pack_examples",
 ]
 
 
