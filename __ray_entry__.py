@@ -644,6 +644,39 @@ def _q_top_docs_per_lang(sf_dir: str):
     return top_docs_per_group(_docs(sf_dir, ["doc_id", "lang", "n_chars"]), k=5)
 
 
+def _q_keyword_search(sf_dir: str):
+    """Top-k documents by query-term hit count (the integer core of
+    BM25-family retrieval): broadcast term set, vectorized per-batch
+    membership scoring, per-block partial top-k, one tiny merge —
+    document text never shuffles."""
+    from intelligent_ocr_ray.stages.scoring import keyword_search
+
+    return keyword_search(
+        _docs(sf_dir, ["doc_id", "text"]), ("hash", "join", "merge"), k=10
+    )
+
+
+def _q_rarity_score(sf_dir: str):
+    """Two-pass corpus-frequency scoring: global top-256 vocabulary
+    (partial counts → coarse partitions → tiny merge) broadcast once;
+    then a pure per-batch map counts in-vocabulary token instances and
+    sums their corpus frequencies. common_ratio is the single IEEE
+    division."""
+    from intelligent_ocr_ray.stages.scoring import rarity_score
+
+    return rarity_score(_docs(sf_dir, ["doc_id", "text"]), vocab_k=256)
+
+
+def _q_quantile_filter(sf_dir: str):
+    """Global-percentile gate: keep docs at/above the corpus P25 token
+    count. Exact quantile from integer histogram partials (domain
+    bounded by max doc length) + driver CDF walk with the DuckDB
+    quantile_disc index rule; pass 2 is a stateless filter."""
+    from intelligent_ocr_ray.stages.scoring import quantile_filter
+
+    return quantile_filter(_docs(sf_dir, ["doc_id", "text"]), q=0.25)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_transcripts": _q_extract_transcripts,
@@ -692,6 +725,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "decontaminate": _q_decontaminate,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "keyword_search": _q_keyword_search,
+        "rarity_score": _q_rarity_score,
+        "quantile_filter": _q_quantile_filter,
         "conv_stats": _q_conv_stats,
         "status_profile": _q_status_profile,
         "pdfish_extract": _q_pdfish_extract,
@@ -1548,6 +1584,47 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY n_chars DESC, doc_id) AS rank
               FROM documents)
             WHERE rank <= 5
+        """,
+        "keyword_search": f"""
+            SELECT doc_id, score, rank FROM (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+              FROM (SELECT doc_id,
+                           len(list_filter(
+                               regexp_extract_all(coalesce(text, ''), {_TOKEN_RE_SQL}),
+                               x -> x IN ('hash', 'join', 'merge'))) AS score
+                    FROM documents)
+              WHERE score > 0)
+            WHERE rank <= 10
+        """,
+        "rarity_score": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''), {_TOKEN_RE_SQL})) AS token
+              FROM documents
+            ),
+            counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+            vocab AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 256),
+            per_doc AS (
+              SELECT t.doc_id, count(*) AS n_tokens, count(v.token) AS n_common,
+                     CAST(coalesce(sum(v.n), 0) AS BIGINT) AS freq_sum
+              FROM tok t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_tokens, 0) AS n_tokens,
+                   coalesce(p.n_common, 0) AS n_common,
+                   coalesce(p.freq_sum, 0) AS freq_sum,
+                   CASE WHEN coalesce(p.n_tokens, 0) > 0
+                        THEN CAST(p.n_common AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS common_ratio
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "quantile_filter": f"""
+            WITH t AS (SELECT doc_id,
+                              len(regexp_extract_all(coalesce(text, ''), {_TOKEN_RE_SQL})) AS n_tokens
+                       FROM documents),
+            c AS (SELECT quantile_disc(n_tokens, 0.25) AS cut FROM t)
+            SELECT doc_id, n_tokens FROM t, c WHERE n_tokens >= c.cut
         """,
         "fingerprint": _FINGERPRINT_SQL,
         "minhash_dups": _minhash_sql(),

@@ -206,6 +206,9 @@ def run_bench() -> dict:
         "lang_rebalance",
         "repetition_stats",
         "window_dedup",
+        "keyword_search",
+        "rarity_score",
+        "quantile_filter",
     ):
         if name not in qs or headline_only:
             continue

@@ -1,0 +1,272 @@
+"""Corpus scoring & search: keyword top-k search, corpus-frequency
+rarity scoring, and global-percentile filtering — training-data
+operators layered on the token machinery of corpus.py / text_stats.py,
+each with an exact DuckDB oracle twin (__ray_entry__.py).
+
+Scale shapes (the engine's established two-pass disciplines):
+
+* keyword_search — the query-term set is tiny by construction
+  (broadcast in the task closure); scoring is one vectorized
+  membership pass per batch; top-k is per-block partials followed by
+  one k x num_blocks merge. No shuffle ever sees document text.
+* rarity_score — pass 1 reuses ``vocab_topk`` (per-batch partial
+  counts -> coarse token partitions -> tiny merge); the V-row
+  frequency table broadcasts once via ``ray.put``. Pass 2 is a pure
+  per-batch map. V is a fixed constant, so the broadcast never grows
+  with corpus size (unlike decontaminate's benchmark set, which needs
+  the size-crossover treatment).
+* quantile_filter — pass 1 builds an exact integer histogram of the
+  per-doc token count (per-batch partials -> one tiny groupby; the
+  domain is bounded by max DOCUMENT length, not corpus size), the
+  driver walks the CDF to pin the cutoff (index rule = DuckDB
+  ``quantile_disc``, same as sketches.group_quantiles), and pass 2
+  re-derives the count per batch and filters. No sort, no sampling.
+
+All ratios are single exact IEEE divisions; every other value is
+int64 — the cross-engine float discipline from CLAUDE.md.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text_stats import TOKEN_PATTERN
+
+_WS = " \t\r\n"
+
+
+def _token_lists(text_arr):
+    """Coalesce nulls -> trim -> nonempty mask + token ListArray for the
+    nonempty rows (identical token semantics to regexp_extract_all on
+    the raw text: tokens are maximal non-whitespace runs either way)."""
+    trimmed = pc.utf8_trim(
+        pc.coalesce(text_arr, pa.scalar("", pa.string())), _WS
+    )
+    nonempty = np.asarray(pc.greater(pc.utf8_length(trimmed), 0))
+    if not nonempty.any():
+        return nonempty, None
+    toks = pc.split_pattern_regex(
+        trimmed.filter(pa.array(nonempty)), "[ \t\r\n]+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return nonempty, toks
+
+
+# --- keyword search (broadcast terms, distributed top-k) -------------------
+
+
+def keyword_search(
+    ds,
+    terms: tuple[str, ...],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-k documents by query-term hit count (tf summed over the
+    query terms, whole-token matches). The BM25-family retrieval
+    primitive reduced to its exactly-oracle-checkable integer core:
+    score = number of token instances that are query terms; ranking is
+    (score DESC, id ASC) with row_number semantics — ties at the k
+    boundary resolve deterministically by id on both engines.
+
+    Emits (id, score, rank) for the k best documents with score > 0.
+    """
+    term_arr = pa.array(sorted(set(terms)), pa.large_string())
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        scores = np.zeros(len(ids), np.int64)
+        nonempty, toks = _token_lists(t.column(text_col))
+        if toks is not None:
+            flat = toks.flatten().cast(pa.large_string())
+            member = np.asarray(pc.is_in(flat, value_set=term_arr))
+            per_sub = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+            row_of = np.repeat(np.arange(len(per_sub)), per_sub)
+            scores[np.flatnonzero(nonempty)] = np.bincount(
+                row_of[member], minlength=len(per_sub)
+            )
+        keep = scores > 0
+        # per-block partial top-k: only k candidate rows leave the block
+        order = np.lexsort((ids[keep], -scores[keep]))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep][order], pa.int64()),
+                "score": pa.array(scores[keep][order], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        sc = np.asarray(t.column("score"), dtype=np.int64)
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "score": pa.array(sc[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        score_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # batch_size=None pins whole-block batching for the single merge
+    # (same rationale as corpus.top_docs_per_group, ADVICE r3)
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+# --- corpus-frequency rarity scoring ---------------------------------------
+
+RARITY_VOCAB_K = 256
+
+
+def rarity_score(
+    ds,
+    *,
+    vocab_k: int = RARITY_VOCAB_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Two-pass corpus-frequency scoring — the cheap LM-quality proxy
+    (documents whose tokens are mostly outside the corpus's common
+    vocabulary are noise/boilerplate candidates; cf. the frequency
+    filters in public C4/Gopher pipeline descriptions).
+
+    Pass 1: global top-``vocab_k`` token frequencies (``vocab_topk``'s
+    partial-count + coarse-partition shape). Pass 2: per batch, count
+    how many of each document's token instances fall in that vocabulary
+    and sum their corpus frequencies. Tokens outside the top-V
+    contribute zero by definition (the cap IS the contract — the oracle
+    replays it with the same (n DESC, token ASC) tie-break).
+
+    Emits (id, n_tokens, n_common, freq_sum, common_ratio) per
+    document; common_ratio = n_common / n_tokens is the single IEEE
+    division (0.0 for empty documents).
+    """
+    import ray
+
+    from .corpus import vocab_topk
+
+    vt = vocab_topk(ds, k=vocab_k, text_col=text_col).to_pandas()
+    vocab_arr = pa.array(vt["token"].tolist(), pa.large_string())
+    freqs = vt["n"].to_numpy(dtype=np.int64)
+    vt_ref = ray.put((vocab_arr, freqs))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        vocab, vfreq = ray.get(vt_ref)
+        ids = t.column(id_col)
+        n_rows = t.num_rows
+        n_tokens = np.zeros(n_rows, np.int64)
+        n_common = np.zeros(n_rows, np.int64)
+        freq_sum = np.zeros(n_rows, np.int64)
+        nonempty, toks = _token_lists(t.column(text_col))
+        if toks is not None:
+            sub_rows = np.flatnonzero(nonempty)
+            flat = toks.flatten().cast(pa.large_string())
+            idx = np.asarray(
+                pc.index_in(flat, value_set=vocab).fill_null(-1), dtype=np.int64
+            )
+            hit = idx >= 0
+            per_sub = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+            row_of = np.repeat(np.arange(len(per_sub)), per_sub)
+            n_tokens[sub_rows] = per_sub
+            n_common[sub_rows] = np.bincount(
+                row_of[hit], minlength=len(per_sub)
+            )
+            fs = np.zeros(len(per_sub), np.int64)
+            # int64 segment sum (bincount weights would round-trip
+            # through float64 and lose exactness past 2^53)
+            np.add.at(fs, row_of[hit], vfreq[idx[hit]])
+            freq_sum[sub_rows] = fs
+        ratio = np.divide(
+            n_common,
+            n_tokens.astype(np.float64),
+            out=np.zeros(n_rows),
+            where=n_tokens > 0,
+        )
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_common": pa.array(n_common, pa.int64()),
+                "freq_sum": pa.array(freq_sum, pa.int64()),
+                "common_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- global-percentile filtering -------------------------------------------
+
+
+def quantile_filter(
+    ds,
+    q: float = 0.25,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Keep documents whose token count is at or above the corpus-wide
+    q-th discrete percentile — the global-threshold gate pattern
+    (perplexity/length filtering against a corpus statistic rather than
+    a fixed constant).
+
+    Pass 1: exact global quantile via integer histogram partials (one
+    (n_tokens -> count) groupby whose cardinality is bounded by the
+    longest document, never by corpus size) and a driver CDF walk with
+    the DuckDB ``quantile_disc`` index rule — element at
+    max(0, ceil(q*n) - 1), the same double multiply as
+    sketches.group_quantiles so both engines agree bit-for-bit.
+    Pass 2: stateless per-batch re-count + filter against the broadcast
+    scalar cutoff. Emits (id, n_tokens) for survivors.
+    """
+    from ray.data.aggregate import Sum
+
+    def count_tokens(t: pa.Table):
+        return pc.cast(
+            pc.count_substring_regex(
+                pc.coalesce(t.column(text_col), pa.scalar("", pa.string())),
+                TOKEN_PATTERN,
+            ),
+            pa.int64(),
+        )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        h = pa.table({"n_tokens": count_tokens(t)})
+        g = h.group_by(["n_tokens"]).aggregate([([], "count_all")])
+        return g.rename_columns(["n_tokens", "n"])
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_tokens")
+        .aggregate(Sum("n", alias_name="n_sum"))
+        .to_pandas()
+    )
+    vals = hist["n_tokens"].to_numpy(dtype=np.int64)
+    counts = hist["n_sum"].to_numpy(dtype=np.int64)
+    order = np.argsort(vals)
+    vals, counts = vals[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    idx = max(0, math.ceil(q * n) - 1)  # = DuckDB quantile_disc
+    cutoff = int(vals[int(np.searchsorted(cum, idx + 1, side="left"))])
+
+    def filt(t: pa.Table) -> pa.Table:
+        nt = count_tokens(t)
+        keep = pc.greater_equal(nt, pa.scalar(cutoff, pa.int64()))
+        return pa.table(
+            {id_col: t.column(id_col), "n_tokens": nt}
+        ).filter(keep)
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,151 @@
+"""Scoring & search operators (stages/scoring.py) vs DuckDB twins on
+edge inputs: null/empty/whitespace-only docs, score ties at the k
+boundary, vocabulary-boundary frequency ties, quantile index-rule
+boundaries on small multisets."""
+
+import duckdb
+import pyarrow as pa
+import ray.data as rd
+
+from intelligent_ocr_ray.stages.scoring import (
+    keyword_search,
+    quantile_filter,
+    rarity_score,
+)
+
+TOKEN_SQL = r"'[^ \t\r\n]+'"
+
+EDGE_TEXTS = [
+    "hash join hash merge scan",          # repeated query terms
+    "hash hash hash",                     # adjacent same-term hits
+    "join",                               # single hit
+    "row batch scan",                     # zero query hits
+    "",                                   # empty
+    None,                                 # null
+    "   \t\r\n ",                         # whitespace-only
+    "merge join",                         # tie candidate
+    "join merge",                         # exact tie with previous (by id)
+]
+
+
+def _ds(texts, parallelism=3):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    return rd.from_arrow(tbl).repartition(parallelism)
+
+
+def _duck(texts):
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+    )
+    return con
+
+
+def test_keyword_search_matches_duckdb_with_ties():
+    got = (
+        keyword_search(_ds(EDGE_TEXTS), ("hash", "join", "merge"), k=4)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want = _duck(EDGE_TEXTS).execute(
+        f"""
+        SELECT doc_id, score, rank FROM (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM (SELECT doc_id,
+                       len(list_filter(regexp_extract_all(coalesce(text, ''), {TOKEN_SQL}),
+                                       x -> x IN ('hash', 'join', 'merge'))) AS score
+                FROM documents)
+          WHERE score > 0)
+        WHERE rank <= 4 ORDER BY rank
+        """
+    ).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
+    # the tie branch really fired: docs 7 and 8 tie on score, id breaks it
+    ids = got["doc_id"].tolist()
+    assert ids.index(7) < ids.index(8) and got["score"].tolist()[0] == 4
+
+
+def test_keyword_search_empty_result():
+    out = keyword_search(_ds(["a b", None, ""]), ("zzz",), k=5).to_pandas()
+    assert len(out) == 0
+
+
+def test_rarity_score_matches_duckdb_with_vocab_boundary_tie():
+    # vocab_k=2 with three tokens: 'b' (3x), and 'a'/'c' tied at 2x —
+    # the (n DESC, token ASC) tie-break must pick 'a' on both engines
+    texts = ["b b a", "b a c", "c", "", None]
+    got = (
+        rarity_score(_ds(texts), vocab_k=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _duck(texts).execute(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), {TOKEN_SQL})) AS token
+          FROM documents
+        ),
+        counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        vocab AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 2),
+        per_doc AS (
+          SELECT t.doc_id, count(*) AS n_tokens, count(v.token) AS n_common,
+                 CAST(coalesce(sum(v.n), 0) AS BIGINT) AS freq_sum
+          FROM tok t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(p.n_common, 0) AS n_common,
+               coalesce(p.freq_sum, 0) AS freq_sum,
+               CASE WHEN coalesce(p.n_tokens, 0) > 0
+                    THEN CAST(p.n_common AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+                    ELSE 0.0 END AS common_ratio
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id
+        """
+    ).df()
+    for col in ("doc_id", "n_tokens", "n_common", "freq_sum", "common_ratio"):
+        assert got[col].tolist() == want[col].tolist(), col
+    # vocab is {b, a}: doc 1 ('b a c') has 2 of 3 common
+    row1 = got[got.doc_id == 1].iloc[0]
+    assert row1.n_common == 2 and row1.freq_sum == 3 + 2
+
+
+def test_quantile_filter_matches_duckdb_index_rule():
+    # multiset of token counts {5, 3, 1, 0, 0, 2}; several q values hit
+    # different ceil boundaries of the quantile_disc index rule
+    texts = ["a a a a a", "b b b", "c", "", None, "d d"]
+    for q in (0.0, 0.25, 0.5, 0.75, 0.9, 1.0):
+        got = (
+            quantile_filter(_ds(texts), q=q)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = _duck(texts).execute(
+            f"""
+            WITH t AS (SELECT doc_id,
+                              len(regexp_extract_all(coalesce(text, ''), {TOKEN_SQL})) AS n_tokens
+                       FROM documents),
+            c AS (SELECT quantile_disc(n_tokens, {q}) AS cut FROM t)
+            SELECT doc_id, n_tokens FROM t, c WHERE n_tokens >= c.cut
+            ORDER BY doc_id
+            """
+        ).df()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), q
+        assert got["n_tokens"].tolist() == want["n_tokens"].tolist(), q
