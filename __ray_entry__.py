@@ -667,6 +667,18 @@ def _q_rarity_score(sf_dir: str):
     return rarity_score(_docs(sf_dir, ["doc_id", "text"]), vocab_k=256)
 
 
+def _q_tfidf_topterms(sf_dir: str):
+    """Per-doc keyword extraction: top-3 terms by the integer-exact
+    tf·idf surrogate (tf·1e6 // df) over the top-256 vocabulary. Three
+    narrow passes: vocab merge, (term_idx, partial_df) reduction, pure
+    per-batch scoring — document text never shuffles."""
+    from intelligent_ocr_ray.stages.scoring import tfidf_topterms
+
+    return tfidf_topterms(
+        _docs(sf_dir, ["doc_id", "text"]), vocab_k=256, top_terms=3
+    )
+
+
 def _q_quantile_filter(sf_dir: str):
     """Global-percentile gate: keep docs at/above the corpus P25 token
     count. Exact quantile from integer histogram partials (domain
@@ -727,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "keyword_search": _q_keyword_search,
         "rarity_score": _q_rarity_score,
+        "tfidf_topterms": _q_tfidf_topterms,
         "quantile_filter": _q_quantile_filter,
         "conv_stats": _q_conv_stats,
         "status_profile": _q_status_profile,
@@ -1618,6 +1631,26 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(p.n_common AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
                         ELSE 0.0 END AS common_ratio
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "tfidf_topterms": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''), {_TOKEN_RE_SQL})) AS token
+              FROM documents
+            ),
+            counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+            vocab AS (SELECT token FROM counts ORDER BY n DESC, token LIMIT 256),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+                   FROM tok JOIN vocab USING (token) GROUP BY token),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok JOIN vocab USING (token) GROUP BY doc_id, token),
+            scored AS (SELECT doc_id, token, tf, df.df AS df,
+                              CAST(tf * 1000000 AS BIGINT) // df.df AS score
+                       FROM tf JOIN df USING (token)),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                    ORDER BY score DESC, token) AS rank
+                       FROM scored)
+            SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= 3
         """,
         "quantile_filter": f"""
             WITH t AS (SELECT doc_id,

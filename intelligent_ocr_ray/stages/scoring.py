@@ -207,6 +207,146 @@ def rarity_score(
     )
 
 
+# --- per-document tf-idf top terms ------------------------------------------
+
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_topterms(
+    ds,
+    *,
+    vocab_k: int = RARITY_VOCAB_K,
+    top_terms: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document keyword extraction: the ``top_terms`` best terms by
+    an integer-exact tf·idf surrogate, score = (tf * 1_000_000) // df —
+    tf/df ordering without a float log, so DuckDB replays it
+    bit-for-bit with BIGINT // arithmetic.
+
+    Candidate terms are the global top-``vocab_k`` vocabulary (the cap
+    is the contract, same tie-break as rarity_score); df = exact
+    document frequency of each candidate. Three passes, all narrow:
+
+    1. ``vocab_topk`` (partial counts -> coarse partitions -> V rows);
+    2. df: per-batch distinct (doc, term) membership counts reduce to a
+       V-long partial vector per batch, one tiny groupby finishes it —
+       the shuffle carries (term_idx, partial_df) pairs only;
+    3. scoring: a pure per-batch map ranks each doc's candidate terms
+       by (score DESC, token ASC) and keeps ``top_terms``.
+
+    Emits (id, token, tf, df, score, rank); documents containing no
+    vocabulary term emit no rows (the SQL join semantics).
+    """
+    import ray
+
+    from .corpus import vocab_topk
+
+    vt = vocab_topk(ds, k=vocab_k, text_col=text_col).to_pandas()
+    vocab_tokens = vt["token"].tolist()
+    vocab_arr = pa.array(vocab_tokens, pa.large_string())
+    n_vocab = len(vocab_tokens)
+    # rank of each vocab index in token string order (ASC tie-break)
+    tok_rank = np.empty(n_vocab, np.int64)
+    tok_rank[np.argsort(np.array(vocab_tokens, dtype=object))] = np.arange(n_vocab)
+    vocab_ref = ray.put(vocab_arr)
+
+    def _doc_term_pairs(t: pa.Table):
+        """(row, vidx) pair keys + counts for vocab-term instances."""
+        vocab = ray.get(vocab_ref)
+        nonempty, toks = _token_lists(t.column(text_col))
+        if toks is None:
+            return None
+        flat = toks.flatten().cast(pa.large_string())
+        idx = np.asarray(
+            pc.index_in(flat, value_set=vocab).fill_null(-1), dtype=np.int64
+        )
+        hit = idx >= 0
+        per_sub = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        row_of = np.repeat(np.arange(len(per_sub)), per_sub)
+        key = row_of[hit] * n_vocab + idx[hit]
+        uk, tf = np.unique(key, return_counts=True)
+        return nonempty, uk // n_vocab, uk % n_vocab, tf.astype(np.int64)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        pairs = _doc_term_pairs(t)
+        if pairs is None:
+            return pa.table(
+                {"vidx": pa.array([], pa.int64()), "pdf": pa.array([], pa.int64())}
+            )
+        _, _, vidx, _ = pairs
+        pdf = np.bincount(vidx, minlength=n_vocab)
+        nz = np.flatnonzero(pdf)
+        return pa.table(
+            {
+                "vidx": pa.array(nz, pa.int64()),
+                "pdf": pa.array(pdf[nz], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vidx")
+        .aggregate(Sum("pdf", alias_name="df"))
+        .to_pandas()
+    )
+    df_vec = np.zeros(n_vocab, np.int64)
+    df_vec[df_tbl["vidx"].to_numpy(dtype=np.int64)] = df_tbl["df"].to_numpy(
+        dtype=np.int64
+    )
+    df_ref = ray.put(df_vec)
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        dfv = ray.get(df_ref)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        pairs = _doc_term_pairs(t)
+        if pairs is None:
+            return empty
+        nonempty, sub_row, vidx, tf = pairs
+        if len(vidx) == 0:
+            return empty
+        ids = np.asarray(t.column(id_col), dtype=np.int64)[
+            np.flatnonzero(nonempty)[sub_row]
+        ]
+        df_of = dfv[vidx]
+        score = (tf * TFIDF_SCALE) // df_of
+        # per-doc rank by (score DESC, token ASC): stable run detection
+        order = np.lexsort((tok_rank[vidx], -score, ids))
+        new = np.concatenate([[True], ids[order][1:] != ids[order][:-1]])
+        pos = np.arange(len(order)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(order)), 0)
+        )
+        keep = order[pos < top_terms]
+        rank = (pos[pos < top_terms] + 1).astype(np.int64)
+        tokens = ray.get(vocab_ref).take(pa.array(vidx[keep], pa.int64()))
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "token": tokens.cast(pa.string()),
+                "tf": pa.array(tf[keep], pa.int64()),
+                "df": pa.array(df_of[keep], pa.int64()),
+                "score": pa.array(score[keep], pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # --- global-percentile filtering -------------------------------------------
 
 

@@ -11,6 +11,7 @@ from intelligent_ocr_ray.stages.scoring import (
     keyword_search,
     quantile_filter,
     rarity_score,
+    tfidf_topterms,
 )
 
 TOKEN_SQL = r"'[^ \t\r\n]+'"
@@ -124,6 +125,53 @@ def test_rarity_score_matches_duckdb_with_vocab_boundary_tie():
     # vocab is {b, a}: doc 1 ('b a c') has 2 of 3 common
     row1 = got[got.doc_id == 1].iloc[0]
     assert row1.n_common == 2 and row1.freq_sum == 3 + 2
+
+
+def test_tfidf_topterms_matches_duckdb_with_score_ties():
+    # 'x' is rare (df=1) so it outscores frequent tokens; docs 3 and 4
+    # produce exact score ties resolved by token ASC on both engines
+    texts = [
+        "x a a b",        # x: tf=1 df=1; a: tf=2
+        "a b b c",
+        "c c c a",
+        "a b",            # tie: tf=1 each, same df ordering
+        "b a",            # same multiset, different order
+        "",
+        None,
+    ]
+    got = (
+        tfidf_topterms(_ds(texts), vocab_k=4, top_terms=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _duck(texts).execute(
+        f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(coalesce(text, ''), {TOKEN_SQL})) AS token
+          FROM documents
+        ),
+        counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        vocab AS (SELECT token FROM counts ORDER BY n DESC, token LIMIT 4),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+               FROM tok JOIN vocab USING (token) GROUP BY token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM tok JOIN vocab USING (token) GROUP BY doc_id, token),
+        scored AS (SELECT doc_id, token, tf, df.df AS df,
+                          CAST(tf * 1000000 AS BIGINT) // df.df AS score
+                   FROM tf JOIN df USING (token)),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY score DESC, token) AS rank
+                   FROM scored)
+        SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= 2
+        ORDER BY doc_id, rank
+        """
+    ).df()
+    for col in ("doc_id", "token", "tf", "df", "score", "rank"):
+        assert got[col].tolist() == want[col].tolist(), col
+    # the rare term really won where present
+    assert got[got.doc_id == 0].iloc[0].token == "x"
 
 
 def test_quantile_filter_matches_duckdb_index_rule():
