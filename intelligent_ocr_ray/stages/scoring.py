@@ -104,6 +104,8 @@ def keyword_search(
     def merge(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column(id_col), dtype=np.int64)
         sc = np.asarray(t.column("score"), dtype=np.int64)
+        real = sc > 0  # drop the schema-sentinel seed row
+        ids, sc = ids[real], sc[real]
         order = np.lexsort((ids, -sc))[:k]
         return pa.table(
             {
@@ -113,12 +115,28 @@ def keyword_search(
             }
         )
 
+    import ray.data as rd
+
     partials = ds.map_batches(
         score_partial, batch_format="pyarrow", zero_copy_batch=True
     )
+    # a one-row sentinel seed block (score=0, filtered in merge): when
+    # NO document scores — an ordinary outcome for selective terms —
+    # every partial block is empty and Ray drops them ALL, so the merge
+    # stage would never run and the result would lose its schema
+    # entirely (Dataset.schema() → None); the sentinel guarantees the
+    # merge runs and its (possibly 0-row) output block carries schema
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array([-1], pa.int64()),
+                "score": pa.array([0], pa.int64()),
+            }
+        )
+    )
     # batch_size=None pins whole-block batching for the single merge
     # (same rationale as corpus.top_docs_per_group, ADVICE r3)
-    return partials.repartition(1).map_batches(
+    return partials.union(seed).repartition(1).map_batches(
         merge, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 

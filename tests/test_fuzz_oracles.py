@@ -33,6 +33,12 @@ FAST_PROFILE = [
     "repetition_stats",
     "window_dedup",
     "pack_examples",
+    # round-4e scoring family: keyword_search exercises the empty-result
+    # schema path (zero hits on the fuzz corpus is the interesting case)
+    "keyword_search",
+    "rarity_score",
+    "tfidf_topterms",
+    "quantile_filter",
 ]
 
 

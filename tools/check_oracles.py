@@ -19,7 +19,16 @@ def to_pandas(obj):
     import ray.data as rd
 
     if isinstance(obj, rd.Dataset):
-        return obj.to_pandas()
+        df = obj.to_pandas()
+        if len(df) == 0 and len(df.columns) == 0:
+            # Dataset.to_pandas() drops columns on 0-row results even
+            # when the dataset schema is known — rebuild the empty
+            # frame from the schema so the comparison sees real columns
+            schema = obj.schema()
+            base = getattr(schema, "base_schema", None)
+            if base is not None:
+                df = base.empty_table().to_pandas()
+        return df
     if isinstance(obj, pa.Table):
         return obj.to_pandas()
     return obj
