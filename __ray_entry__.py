@@ -679,6 +679,16 @@ def _q_tfidf_topterms(sf_dir: str):
     )
 
 
+def _q_source_overlap(sf_dir: str):
+    """Pairwise provenance overlap matrix: distinct shared word
+    5-grams (md5 identity) per source pair. Narrow (bit, gram-hash)
+    pairs → coarse gram partitions → per-partition bitmask reduction
+    to ≤2^G (mask, count) rows → tiny driver expansion."""
+    from intelligent_ocr_ray.stages.corpus import source_overlap
+
+    return source_overlap(_docs(sf_dir, ["source", "text"]), ngram=5)
+
+
 def _q_quantile_filter(sf_dir: str):
     """Global-percentile gate: keep docs at/above the corpus P25 token
     count. Exact quantile from integer histogram partials (domain
@@ -741,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rarity_score": _q_rarity_score,
         "tfidf_topterms": _q_tfidf_topterms,
         "quantile_filter": _q_quantile_filter,
+        "source_overlap": _q_source_overlap,
         "conv_stats": _q_conv_stats,
         "status_profile": _q_status_profile,
         "pdfish_extract": _q_pdfish_extract,
@@ -1651,6 +1662,21 @@ def oracle_sql() -> dict[str, str]:
                                                     ORDER BY score DESC, token) AS rank
                        FROM scored)
             SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= 3
+        """,
+        "source_overlap": f"""
+            WITH toks AS (SELECT source,
+                                 regexp_extract_all(coalesce(text, ''), {_TOKEN_RE_SQL}) AS w
+                          FROM documents),
+            gidx AS (SELECT source, w,
+                            unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+                     FROM toks),
+            grams AS (SELECT DISTINCT source,
+                             md5_number_lower(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                              || ' ' || w[i+3] || ' ' || w[i+4]) AS g
+                      FROM gidx)
+            SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+            FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "quantile_filter": f"""
             WITH t AS (SELECT doc_id,

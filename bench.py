@@ -71,6 +71,34 @@ def cpu_ref_ms() -> float:
     return round(best * 1000, 1)
 
 
+def _par_ref_worker(_):
+    # memory-streaming workload (cache-busting): sensitive to the shared
+    # memory bus, which the in-cache single-core index cannot see
+    import numpy as np
+
+    x = np.random.RandomState(1).rand(4_000_000)
+    s = 0.0
+    for _ in range(6):
+        s += float((x * 1.0001).sum())
+        x += 0.5
+    return s
+
+
+def cpu_ref_par_ms() -> float:
+    """All-cores calibration twin of cpu_ref_ms: the same box can show a
+    FAST single core (in-cache matmul) while 32-way parallel throughput
+    is halved by neighbor-VM memory-bus contention — a regime observed
+    to inflate every pipeline 2-4x uniformly. Wall time for NUM_CPUS
+    concurrent memory-streaming workers; compare across runs, and
+    against cpu_ref_ms, to classify a window before trusting timings."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    t0 = time.perf_counter()
+    with ProcessPoolExecutor(max_workers=NUM_CPUS) as ex:
+        list(ex.map(_par_ref_worker, range(NUM_CPUS)))
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -209,6 +237,8 @@ def run_bench() -> dict:
         "keyword_search",
         "rarity_score",
         "quantile_filter",
+        "tfidf_topterms",
+        "source_overlap",
     ):
         if name not in qs or headline_only:
             continue
@@ -231,6 +261,7 @@ def run_bench() -> dict:
         "throughput_rows_per_s": round(n_rows / headline, 1),
         "exact_match_rate": exact_match_rate(src),
         "cpu_ref_ms": cpu_ref_ms(),
+        "cpu_ref_par_ms": cpu_ref_par_ms(),
     }
 
 

@@ -861,3 +861,147 @@ def pack_examples(
     return narrow.groupby("bucket").map_groups(
         scan_bucket, batch_format="pyarrow"
     )
+
+
+# --- cross-source n-gram overlap matrix -------------------------------------
+
+OVERLAP_MAX_GROUPS = 62  # bitmask fits int64
+
+
+def source_overlap(
+    ds,
+    *,
+    ngram: int = DECON_NGRAM,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_parts: int = 64,
+) -> pa.Table:
+    """Pairwise provenance overlap: for every pair of sources, the
+    number of distinct word n-grams (md5-hashed, the decontaminate
+    identity) that appear in BOTH — the cross-corpus contamination
+    matrix a mixing pipeline checks before weighting sources.
+
+    Scale shape (never an O(sources²) scan of the corpus):
+    1. narrow pass: per-batch DISTINCT (source-bit, gram-md5) pairs —
+       only (uint64, int32) rows leave the batch;
+    2. coarse gram-space partitions: each gram completes inside its
+       partition, so one vectorized pass ORs the per-gram source
+       bitmask and reduces the partition to (mask, count) rows —
+       at most 2^G distinct masks regardless of corpus size;
+    3. driver: merge the mask counts and expand to pairwise shared-gram
+       totals (G² tiny).
+
+    Partitioning assumption: G = #distinct groups ≤ 62 (one int64
+    bitmask bit per source) — this is a SOURCE/provenance-class
+    matrix, not a per-domain matrix; raises above the cap.
+
+    Returns a pyarrow Table (source_a, source_b, n_shared), pairs with
+    n_shared > 0, sources ordered lexicographically within each pair.
+    The DuckDB oracle is the self-join of distinct (source, gram-md5)
+    on equal hash — identical md5 arithmetic, so parity is exact even
+    under (astronomically unlikely) 64-bit collisions.
+    """
+    import ray
+
+    from .dedup import _distinct_gram_rows, _md5_hash_strings
+
+    groups = sorted(
+        ds.groupby(group_col).count().to_pandas()[group_col].tolist()
+    )
+    if len(groups) > OVERLAP_MAX_GROUPS:
+        raise ValueError(
+            f"source_overlap supports <= {OVERLAP_MAX_GROUPS} groups "
+            f"(got {len(groups)}): it is a provenance-class matrix; for "
+            "per-domain overlap, bucket domains into classes first"
+        )
+    groups_arr = pa.array(groups, pa.string())
+    groups_ref = ray.put(groups_arr)
+
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gpart": pa.array([], pa.int32()),
+                "ghash": pa.array([], pa.uint64()),
+                "bit": pa.array([], pa.int32()),
+            }
+        )
+        rows, grams, starts = _distinct_gram_rows(t.column(text_col), ngram)
+        if not len(rows):
+            return empty
+        h = _md5_hash_strings(grams, bits=64)
+        src_idx = np.asarray(
+            pc.index_in(
+                t.column(group_col), value_set=ray.get(groups_ref)
+            ).fill_null(-1),
+            dtype=np.int64,
+        )
+        bit = src_idx[rows]
+        ok = bit >= 0
+        h, bit = h[ok], bit[ok]
+        # batch-level distinct (gram, bit): lexsort + run dedupe
+        order = np.lexsort((bit, h))
+        h, bit = h[order], bit[order]
+        keep = np.concatenate(
+            [[True], (h[1:] != h[:-1]) | (bit[1:] != bit[:-1])]
+        )
+        h, bit = h[keep], bit[keep]
+        return pa.table(
+            {
+                "gpart": pa.array((h % num_parts).astype(np.int32), pa.int32()),
+                "ghash": pa.array(h, pa.uint64()),
+                "bit": pa.array(bit.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def mask_counts(part: pa.Table) -> pa.Table:
+        h = np.asarray(part.column("ghash"), dtype=np.uint64)
+        b = np.asarray(part.column("bit"), dtype=np.int64)
+        if not len(h):
+            return pa.table(
+                {"mask": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((b, h))
+        h, b = h[order], b[order]
+        keep = np.concatenate(
+            [[True], (h[1:] != h[:-1]) | (b[1:] != b[:-1])]
+        )
+        h, b = h[keep], b[keep]
+        gid = np.cumsum(np.concatenate([[0], (h[1:] != h[:-1]).astype(np.int64)]))
+        mask = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, np.int64)
+        np.bitwise_or.at(mask, gid, np.int64(1) << b)
+        masks, counts = np.unique(mask, return_counts=True)
+        return pa.table(
+            {
+                "mask": pa.array(masks, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parted = ds.map_batches(
+        pairs_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    mc = (
+        parted.groupby("gpart")
+        .map_groups(
+            lambda t: mask_counts(t.drop_columns(["gpart"])),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    merged = mc.groupby("mask", as_index=False)["n"].sum()
+    pair_n = np.zeros((len(groups), len(groups)), np.int64)
+    for m, cnt in zip(
+        merged["mask"].to_numpy(dtype=np.int64), merged["n"].to_numpy(dtype=np.int64)
+    ):
+        bits = [i for i in range(len(groups)) if m >> i & 1]
+        for ai in range(len(bits)):
+            for bi in range(ai + 1, len(bits)):
+                pair_n[bits[ai], bits[bi]] += cnt
+    a_idx, b_idx = np.nonzero(pair_n)
+    return pa.table(
+        {
+            "source_a": pa.array([groups[i] for i in a_idx], pa.string()),
+            "source_b": pa.array([groups[j] for j in b_idx], pa.string()),
+            "n_shared": pa.array(pair_n[a_idx, b_idx], pa.int64()),
+        }
+    )

@@ -174,6 +174,57 @@ def test_tfidf_topterms_matches_duckdb_with_score_ties():
     assert got[got.doc_id == 0].iloc[0].token == "x"
 
 
+def test_source_overlap_matches_duckdb_with_three_way_gram():
+    from intelligent_ocr_ray.stages.corpus import source_overlap
+
+    shared = "one two three four five"  # a 5-gram shared by s0/s1/s2
+    texts = [
+        shared + " tail0",
+        shared + " tail1",
+        shared,
+        "totally different words here now",
+        "",
+        None,
+        "one two three four five six",  # adds a second gram to s0
+    ]
+    sources = ["s0", "s1", "s2", "s0", "s1", "s2", "s0"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(sources, pa.string()),
+        }
+    )
+    got = (
+        source_overlap(rd.from_arrow(tbl).repartition(3), ngram=5)
+        .to_pandas()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(
+        f"""
+        WITH toks AS (SELECT source, regexp_extract_all(coalesce(text, ''), {TOKEN_SQL}) AS w
+                      FROM documents),
+        gidx AS (SELECT source, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+                 FROM toks),
+        grams AS (SELECT DISTINCT source,
+                         md5_number_lower(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          || ' ' || w[i+3] || ' ' || w[i+4]) AS g
+                  FROM gidx)
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    for col in ("source_a", "source_b", "n_shared"):
+        assert got[col].tolist() == want[col].tolist(), col
+    # the three-way gram credited every pair exactly once
+    row = got[(got.source_a == "s0") & (got.source_b == "s1")]
+    assert len(row) == 1 and row.iloc[0].n_shared >= 1
+
+
 def test_quantile_filter_matches_duckdb_index_rule():
     # multiset of token counts {5, 3, 1, 0, 0, 2}; several q values hit
     # different ceil boundaries of the quantile_disc index rule
