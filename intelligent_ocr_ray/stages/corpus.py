@@ -906,7 +906,9 @@ def source_overlap(
     from .dedup import _distinct_gram_rows, _md5_hash_strings
 
     groups = sorted(
-        ds.groupby(group_col).count().to_pandas()[group_col].tolist()
+        g
+        for g in ds.groupby(group_col).count().to_pandas()[group_col].tolist()
+        if g is not None  # null provenance carries no bit (dropped per batch)
     )
     if len(groups) > OVERLAP_MAX_GROUPS:
         raise ValueError(

@@ -186,8 +186,9 @@ def test_source_overlap_matches_duckdb_with_three_way_gram():
         "",
         None,
         "one two three four five six",  # adds a second gram to s0
+        shared + " null provenance",    # null source: carries no bit
     ]
-    sources = ["s0", "s1", "s2", "s0", "s1", "s2", "s0"]
+    sources = ["s0", "s1", "s2", "s0", "s1", "s2", "s0", None]
     tbl = pa.table(
         {
             "doc_id": pa.array(range(len(texts)), pa.int64()),
