@@ -624,6 +624,16 @@ def _q_events_quantiles(sf_dir: str):
     return group_quantiles(ds, "event_type", "value")
 
 
+def _q_events_hourly_users(sf_dir: str):
+    """EXACT distinct users per tumbling hour — the exact twin of the
+    KMV estimate: batch-distinct narrow pairs → user-hash partitions
+    (partition-local distinct is globally correct) → (hour, partial)
+    reduction → tiny final groupby."""
+    from intelligent_ocr_ray.pipelines.events import hourly_distinct_users
+
+    return hourly_distinct_users(sf_dir)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: every corpus doc annotated with its
     count of distinct word 5-grams (md5-hashed) shared with the
@@ -723,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_rolling": _q_events_rolling,
         "distinct_users_kmv": _q_distinct_users_kmv,
+        "events_hourly_users": _q_events_hourly_users,
         "events_quantiles": _q_events_quantiles,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1390,6 +1401,11 @@ def oracle_sql() -> dict[str, str]:
                                   // greatest(CAST(concat('0x', substring(hx, 1, 16)) AS UBIGINT), 1)
                         END AS BIGINT) AS n_distinct_est
             FROM r WHERE rn = least(nd, 64)
+        """,
+        "events_hourly_users": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "events_quantiles": """
             WITH c AS (SELECT event_type,

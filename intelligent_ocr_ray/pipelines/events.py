@@ -77,6 +77,71 @@ def hourly_rollup(sf_dir: str) -> rd.Dataset:
     )
 
 
+def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
+    """EXACT distinct users per 1-hour tumbling window — the exact twin
+    of the KMV estimate (sketches.kmv_distinct), at the cost of one
+    narrow shuffle.
+
+    Scale shape (two-level dedup, never a groupby with one group per
+    (hour, user) pair): per-batch DISTINCT (hour, user) pairs shrink
+    the shuffle input first; pairs are then hash-partitioned BY USER,
+    so every occurrence of a user lands in one partition and the
+    partition-local distinct is globally correct; each partition
+    reduces to (hour, partial_count) rows and a tiny final groupby
+    sums them. Null users are excluded (count(DISTINCT) semantics on
+    the oracle side).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = read_events(sf_dir, columns=["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t.column("user_id"))
+        t = t.filter(keep)
+        # the window key travels as int64 micros: Ray's shuffle machinery
+        # mangles NULL timestamp keys (numpy datetime conversion), while
+        # nullable int64 keys group cleanly; cast back at the end
+        hour_us = pc.cast(
+            pc.floor_temporal(
+                pc.cast(t.column("ts"), pa.timestamp("us")), unit="hour"
+            ),
+            pa.int64(),
+        )
+        g = pa.table({"hour_us": hour_us, "user_id": t.column("user_id")}).group_by(
+            ["hour_us", "user_id"]
+        ).aggregate([])
+        upart = (
+            np.asarray(g.column("user_id"), dtype=np.int64) % num_parts
+        ).astype(np.int32)
+        return g.append_column("upart", pa.array(upart, pa.int32()))
+
+    def count_partition(g: pa.Table) -> pa.Table:
+        d = (
+            g.drop_columns(["upart"])
+            .group_by(["hour_us", "user_id"])
+            .aggregate([])
+        )
+        c = d.group_by(["hour_us"]).aggregate([([], "count_all")])
+        return c.rename_columns(["hour_us", "n"])
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.cast(t.column("hour_us"), pa.timestamp("us")),
+                "n_users": t.column("n_users"),
+            }
+        )
+
+    partials = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    per_part = partials.groupby("upart").map_groups(
+        count_partition, batch_format="pyarrow"
+    )
+    out = per_part.groupby("hour_us").aggregate(Sum("n", alias_name="n_users"))
+    return out.map_batches(to_ts, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def props_rollup(sf_dir: str) -> rd.Dataset:
     """Schema-on-read over the JSON `props` column (the reference's
     JSONL log is read the same way, core/pdf_processor.py:160-189):
