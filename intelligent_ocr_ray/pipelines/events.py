@@ -98,11 +98,12 @@ def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
     ds = read_events(sf_dir, columns=["ts", "user_id"])
 
     def pairs(t: pa.Table) -> pa.Table:
-        keep = pc.is_valid(t.column("user_id"))
-        t = t.filter(keep)
         # the window key travels as int64 micros: Ray's shuffle machinery
         # mangles NULL timestamp keys (numpy datetime conversion), while
-        # nullable int64 keys group cleanly; cast back at the end
+        # nullable int64 keys group cleanly; cast back at the end.
+        # NULL users stay in as distinct (hour, null) rows — they keep
+        # the hour PRESENT (the oracle emits (hour, 0) for an all-null
+        # hour) but are never counted (pyarrow "count" skips nulls)
         hour_us = pc.cast(
             pc.floor_temporal(
                 pc.cast(t.column("ts"), pa.timestamp("us")), unit="hour"
@@ -113,7 +114,8 @@ def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
             ["hour_us", "user_id"]
         ).aggregate([])
         upart = (
-            np.asarray(g.column("user_id"), dtype=np.int64) % num_parts
+            np.asarray(g.column("user_id").fill_null(-1), dtype=np.int64)
+            % num_parts
         ).astype(np.int32)
         return g.append_column("upart", pa.array(upart, pa.int32()))
 
@@ -123,7 +125,7 @@ def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
             .group_by(["hour_us", "user_id"])
             .aggregate([])
         )
-        c = d.group_by(["hour_us"]).aggregate([([], "count_all")])
+        c = d.group_by(["hour_us"]).aggregate([("user_id", "count")])
         return c.rename_columns(["hour_us", "n"])
 
     def to_ts(t: pa.Table) -> pa.Table:

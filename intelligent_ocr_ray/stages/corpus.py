@@ -905,11 +905,20 @@ def source_overlap(
 
     from .dedup import _distinct_gram_rows, _md5_hash_strings
 
-    groups = sorted(
-        g
-        for g in ds.groupby(group_col).count().to_pandas()[group_col].tolist()
-        if g is not None  # null provenance carries no bit (dropped per batch)
+    # distinct group names via per-batch distinct partials on the NARROW
+    # group column — no shuffle, no extra full-width execution (a
+    # groupby here would sort-shuffle the text column and crash on null
+    # keys); null provenance carries no bit (dropped per batch too)
+    def distinct_groups(t: pa.Table) -> pa.Table:
+        return t.group_by([group_col]).aggregate([])
+
+    name_parts = (
+        ds.select_columns([group_col])
+        .map_batches(distinct_groups, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()[group_col]
+        .tolist()
     )
+    groups = sorted({g for g in name_parts if g is not None})
     if len(groups) > OVERLAP_MAX_GROUPS:
         raise ValueError(
             f"source_overlap supports <= {OVERLAP_MAX_GROUPS} groups "
@@ -940,6 +949,8 @@ def source_overlap(
         bit = src_idx[rows]
         ok = bit >= 0
         h, bit = h[ok], bit[ok]
+        if not len(h):  # every gram-producing row had a null source
+            return empty
         # batch-level distinct (gram, bit): lexsort + run dedupe
         order = np.lexsort((bit, h))
         h, bit = h[order], bit[order]

@@ -36,24 +36,22 @@ import pyarrow.compute as pc
 
 from .text_stats import TOKEN_PATTERN
 
-_WS = " \t\r\n"
-
 
 def _token_lists(text_arr):
-    """Coalesce nulls -> trim -> nonempty mask + token ListArray for the
-    nonempty rows (identical token semantics to regexp_extract_all on
-    the raw text: tokens are maximal non-whitespace runs either way)."""
-    trimmed = pc.utf8_trim(
-        pc.coalesce(text_arr, pa.scalar("", pa.string())), _WS
-    )
-    nonempty = np.asarray(pc.greater(pc.utf8_length(trimmed), 0))
-    if not nonempty.any():
+    """Nonempty-row mask + token ListArray for the nonempty rows, via
+    the engine's ONE tokenizer scaffolding (dedup._tokenized_rows — the
+    shared definition the dedup/oracle contract pins); tokens are
+    maximal non-whitespace runs, identical to regexp_extract_all."""
+    from .dedup import _tokenized_rows
+
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
+    nonempty = np.zeros(len(text_arr), dtype=bool)
+    tr = _tokenized_rows(text_arr)
+    if tr is None:
         return nonempty, None
-    toks = pc.split_pattern_regex(
-        trimmed.filter(pa.array(nonempty)), "[ \t\r\n]+"
-    )
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
+    row_idx, toks = tr
+    nonempty[row_idx] = True
     return nonempty, toks
 
 
@@ -411,18 +409,29 @@ def quantile_filter(
         .aggregate(Sum("n", alias_name="n_sum"))
         .to_pandas()
     )
-    vals = hist["n_tokens"].to_numpy(dtype=np.int64)
-    counts = hist["n_sum"].to_numpy(dtype=np.int64)
-    order = np.argsort(vals)
-    vals, counts = vals[order], counts[order]
-    cum = np.cumsum(counts)
-    n = int(cum[-1])
-    idx = max(0, math.ceil(q * n) - 1)  # = DuckDB quantile_disc
-    cutoff = int(vals[int(np.searchsorted(cum, idx + 1, side="left"))])
+    if "n_tokens" in hist.columns:
+        vals = hist["n_tokens"].to_numpy(dtype=np.int64)
+        counts = hist["n_sum"].to_numpy(dtype=np.int64)
+    else:  # empty corpus: the 0-row aggregate loses its columns entirely
+        vals = counts = np.empty(0, np.int64)
+    if len(vals):
+        order = np.argsort(vals)
+        vals, counts = vals[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        idx = max(0, math.ceil(q * n) - 1)  # = DuckDB quantile_disc
+        cutoff = int(vals[int(np.searchsorted(cum, idx + 1, side="left"))])
+    else:
+        # empty corpus: quantile_disc of an empty multiset is NULL and
+        # `n_tokens >= NULL` keeps nothing — mirror with an empty result
+        cutoff = None
 
     def filt(t: pa.Table) -> pa.Table:
         nt = count_tokens(t)
-        keep = pc.greater_equal(nt, pa.scalar(cutoff, pa.int64()))
+        if cutoff is None:
+            keep = pa.array(np.zeros(t.num_rows, dtype=bool))
+        else:
+            keep = pc.greater_equal(nt, pa.scalar(cutoff, pa.int64()))
         return pa.table(
             {id_col: t.column(id_col), "n_tokens": nt}
         ).filter(keep)

@@ -50,17 +50,18 @@ def test_hourly_distinct_users_edge_fixture(tmp_path):
     t0 = datetime.datetime(2025, 1, 1, 0, 30)
     hr = datetime.timedelta(hours=1)
     rows = {
-        "event_id": pa.array(range(9), pa.int64()),
+        "event_id": pa.array(range(10), pa.int64()),
         "ts": pa.array(
-            [t0, t0, t0 + hr, t0 + hr, t0 + 2 * hr, t0, None, t0 + hr, t0],
+            [t0, t0, t0 + hr, t0 + hr, t0 + 2 * hr, t0, None, t0 + hr, t0,
+             t0 + 3 * hr],
             pa.timestamp("us"),
         ),
         # user 7 spans three hours; user 1 duplicated within one hour;
-        # null users never count
-        "user_id": pa.array([7, 1, 7, 1, 7, 1, 5, None, None], pa.int64()),
-        "event_type": pa.array(["a"] * 9),
-        "value": pa.array([1.0] * 9),
-        "props": pa.array(["{}"] * 9),
+        # null users never count but an ALL-null hour still emits 0
+        "user_id": pa.array([7, 1, 7, 1, 7, 1, 5, None, None, None], pa.int64()),
+        "event_type": pa.array(["a"] * 10),
+        "value": pa.array([1.0] * 10),
+        "props": pa.array(["{}"] * 10),
     }
     d = str(tmp_path)
     pq.write_table(pa.table(rows), os.path.join(d, "events.parquet"))
@@ -71,3 +72,5 @@ def test_hourly_distinct_users_edge_fixture(tmp_path):
     )
     assert by_hour[t0.replace(minute=0)] == 2
     assert by_hour[(t0 + 2 * hr).replace(minute=0)] == 1
+    # the all-null-user hour is present with an exact zero
+    assert by_hour[(t0 + 3 * hr).replace(minute=0)] == 0

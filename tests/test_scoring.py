@@ -226,6 +226,49 @@ def test_source_overlap_matches_duckdb_with_three_way_gram():
     assert len(row) == 1 and row.iloc[0].n_shared >= 1
 
 
+def test_source_overlap_all_null_source_block():
+    # one BLOCK entirely null-source (crashes a naive groupby shuffle on
+    # the key) plus a block whose only gram-producing row is null-source
+    # (empties the partial after the bit filter)
+    from intelligent_ocr_ray.stages.corpus import source_overlap
+
+    shared = "one two three four five"
+    blk1 = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([shared, shared + " more"], pa.string()),
+            "source": pa.array([None, None], pa.string()),
+        }
+    )
+    blk2 = pa.table(
+        {
+            "doc_id": pa.array([2, 3], pa.int64()),
+            "text": pa.array([shared + " x", shared + " y"], pa.string()),
+            "source": pa.array(["sA", "sB"], pa.string()),
+        }
+    )
+    blk3 = pa.table(
+        {
+            "doc_id": pa.array([4, 5], pa.int64()),
+            "text": pa.array([shared + " z", "short"], pa.string()),
+            "source": pa.array([None, "sA"], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(blk1).union(rd.from_arrow(blk2), rd.from_arrow(blk3))
+    got = source_overlap(ds, ngram=5).to_pandas()
+    assert got.to_dict("records") == [
+        {"source_a": "sA", "source_b": "sB", "n_shared": 1}
+    ]
+
+
+def test_quantile_filter_empty_corpus():
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    out = quantile_filter(rd.from_arrow(empty), q=0.5).to_pandas()
+    assert len(out) == 0
+
+
 def test_quantile_filter_matches_duckdb_index_rule():
     # multiset of token counts {5, 3, 1, 0, 0, 2}; several q values hit
     # different ceil boundaries of the quantile_disc index rule
