@@ -34,18 +34,30 @@ def read_events(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     )
 
 
-def hourly_rollup(sf_dir: str) -> rd.Dataset:
+def hourly_rollup(sf_dir: str, *, ds: "rd.Dataset | None" = None) -> rd.Dataset:
     """Tumbling 1-hour window per event_type: count + sum(value).
 
     Scale shape: the window key is computed vectorized per batch, and a
     per-batch PARTIAL aggregate shrinks the shuffle input from O(rows)
     to O(distinct hour×type per batch) before the global groupby —
     the mergeable-partial pattern (ray_guide.md "Aggregation at scale").
+    ``ds`` overrides the read for tests that need a specific block
+    layout (e.g. an all-null-ts block).
     """
-    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
+    if ds is None:
+        ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        # the window key travels as int64 micros through the shuffle:
+        # Ray's reduce re-converts timestamp key columns through numpy
+        # datetimes and dies on an all-null-ts block (ArrowConversionError)
+        # — nullable int64 keys group cleanly; cast back at the end
+        hour_us = pc.cast(
+            pc.floor_temporal(
+                pc.cast(batch.column("ts"), pa.timestamp("us")), unit="hour"
+            ),
+            pa.int64(),
+        )
         # money fixed-point per value before summation (io_utils
         # .money_units discipline) — null stays null, so an all-null
         # window sums to NULL on both sides
@@ -53,28 +65,40 @@ def hourly_rollup(sf_dir: str) -> rd.Dataset:
 
         cents = money_units(batch.column("value"))
         t = pa.table(
-            {"hour": hour, "event_type": batch.column("event_type"), "cents": cents}
+            {"hour_us": hour_us, "event_type": batch.column("event_type"), "cents": cents}
         )
         # count_all = count(*) semantics (a null `value` still counts
         # as an event, matching the oracle SQL)
-        return pa.TableGroupBy(t, ["hour", "event_type"]).aggregate(
+        return pa.TableGroupBy(t, ["hour_us", "event_type"]).aggregate(
             [("cents", "sum"), ([], "count_all")]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = partials.groupby(["hour", "event_type"]).aggregate(
+    out = partials.groupby(["hour_us", "event_type"]).aggregate(
         Sum("cents_sum", alias_name="sum_value_cents"),
         Sum("count_all", alias_name="n_events"),
     )
+
     # pin the sum's type: when EVERY group is all-null Ray's aggregate
     # emits a null-typed column that pandas renders as object(None) —
     # the oracle side is float64(NaN); an explicit int64 cast keeps the
     # null-ness while restoring a comparable dtype (review r3)
-    return out.map_batches(
-        _cast_column("sum_value_cents", pa.int64()),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.cast(t.column("hour_us"), pa.timestamp("us")),
+                "event_type": t.column("event_type"),
+                "sum_value_cents": pc.cast(
+                    t.column("sum_value_cents").combine_chunks()
+                    if isinstance(t.column("sum_value_cents"), pa.ChunkedArray)
+                    else t.column("sum_value_cents"),
+                    pa.int64(),
+                ),
+                "n_events": t.column("n_events"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:

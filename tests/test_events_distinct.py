@@ -46,6 +46,43 @@ def test_hourly_distinct_users_matches_duckdb_on_testdata():
     assert len(got) > 1 and (got["n_users"] > 0).all()
 
 
+def test_hourly_rollup_survives_all_null_ts_block(tmp_path):
+    # an ALL-null-ts parquet row group used to kill the groupby reduce
+    # (Ray re-converts timestamp keys through numpy datetimes); the
+    # int64-micros key keeps the NaT window grouping like the oracle
+    from intelligent_ocr_ray.pipelines.events import hourly_rollup
+
+    t0 = datetime.datetime(2025, 1, 1, 0, 30)
+    d = str(tmp_path)
+    common = {
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+    }
+    blk_null = pa.table({"ts": pa.array([None, None], pa.timestamp("us")), **common})
+    blk_live = pa.table({"ts": pa.array([t0, t0], pa.timestamp("us")), **common})
+    pq.write_table(blk_null, os.path.join(d, "events.parquet"))
+    pq.write_table(blk_live, os.path.join(d, "events2.parquet"))
+    import ray.data as rd
+
+    ds = rd.from_arrow(blk_null).union(rd.from_arrow(blk_live))
+    got = hourly_rollup("", ds=ds).to_pandas().sort_values(
+        ["hour", "event_type"], na_position="first"
+    ).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/*.parquet')"
+    )
+    want = con.sql(
+        """SELECT date_trunc('hour', ts) AS hour, event_type,
+                  CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents,
+                  count(*) AS n_events
+           FROM events GROUP BY 1, 2"""
+    ).df().sort_values(["hour", "event_type"], na_position="first").reset_index(drop=True)
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["sum_value_cents"].tolist() == want["sum_value_cents"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+
+
 def test_hourly_distinct_users_edge_fixture(tmp_path):
     t0 = datetime.datetime(2025, 1, 1, 0, 30)
     hr = datetime.timedelta(hours=1)
