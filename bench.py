@@ -221,6 +221,7 @@ def run_bench() -> dict:
     qs = entrymod.queries()
     for name in (
         "events_hourly",
+        "events_hourly_users",
         "events_sessions",
         "events_quantiles",
         "pricing_summary",

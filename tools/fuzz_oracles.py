@@ -71,7 +71,11 @@ def build_warehouse(out_dir: str, seed: int, n_docs: int = 400) -> None:
             "lang": pa.array(
                 [rng.choice(["en", "de", "fr", "cjk", "other"]) for _ in range(n_docs)]
             ),
-            "source": pa.array([f"s{i % 5}" for i in range(n_docs)]),
+            # ~4% null provenance: source_overlap must drop the null
+            # class without tripping any shuffle (round-4e regression)
+            "source": pa.array(
+                [None if i % 23 == 5 else f"s{i % 5}" for i in range(n_docs)]
+            ),
             "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
         }
     )
