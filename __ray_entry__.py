@@ -1419,8 +1419,10 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY event_type
         """,
         "events_asof": """
-            WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
-            c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+            WITH e AS (SELECT * FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            v AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'view'),
+            c AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'click')
             SELECT c.event_id AS click_id, c.user_id AS user_id,
                    vv.event_id AS view_id,
                    CAST(date_diff('microsecond', vv.ts, c.ts) AS BIGINT) AS gap_us
@@ -1435,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, date_trunc('day', ts) AS day,
                      CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
               FROM events WHERE value IS NOT NULL
+                AND user_id IS NOT NULL AND ts IS NOT NULL
               GROUP BY user_id, date_trunc('day', ts)
             )
             SELECT user_id, day, day_cents,
@@ -1448,7 +1451,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_id, ts, value,
                      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-              FROM events
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
             ), s AS (
               SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx

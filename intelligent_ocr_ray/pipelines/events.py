@@ -227,6 +227,13 @@ def asof_view_before_click(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
 
     def keep_sides(t: pa.Table) -> pa.Table:
         mask = pc.is_in(t.column("event_type"), value_set=pa.array(["view", "click"]))
+        # null partition keys are excluded by contract (documented with
+        # the partitioning assumption; the oracle filters identically —
+        # a null user/ts row can neither partition nor order)
+        mask = pc.and_(
+            mask,
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))),
+        )
         return _add_user_part(t.filter(mask), num_parts)
 
     def asof_partition(g: pa.Table) -> pa.Table:
@@ -287,8 +294,17 @@ def rolling_user_daily(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
         # events with a null value are excluded on BOTH sides (the SQL
         # twin filters them too): an all-null (user, day) group would
         # otherwise sum to NULL here and wrap to INT64_MIN through the
-        # numpy cast, silently poisoning the rolling window
-        t = t.filter(pc.is_valid(t.column("value")))
+        # numpy cast, silently poisoning the rolling window. Null
+        # user/ts rows are excluded by the same documented contract as
+        # asof/sessionize (they can neither partition nor window).
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column("value")),
+                pc.and_(
+                    pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))
+                ),
+            )
+        )
         day = pc.floor_temporal(t.column("ts"), unit="day")
         cents = pc.cast(
             pc.round(pc.multiply(t.column("value"), 100.0), ndigits=0), pa.int64()
@@ -355,6 +371,11 @@ def sessionize(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
     ds = read_events(sf_dir, columns=["ts", "user_id", "event_id", "value"])
 
     def add_part(t: pa.Table) -> pa.Table:
+        # null partition keys are excluded by contract (see asof/rolling
+        # — the oracle filters identically)
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        )
         part = pc.cast(
             pc.bit_wise_and(t.column("user_id"), np.int64(num_parts - 1)), pa.int32()
         )

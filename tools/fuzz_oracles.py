@@ -111,11 +111,21 @@ def build_warehouse(out_dir: str, seed: int, n_docs: int = 400) -> None:
     # carry real probability mass (the order-sensitivity trap)
     vals = np.round(nrng.gamma(2.0, 8.0, size=n_ev), 4)
     null_mask = nrng.rand(n_ev) < 0.07
+    # null partition/window keys (round-4e): ~3% null users and ~2%
+    # null timestamps — the hourly rollups keep a NULL window (the
+    # oracle's count-distinct emits (hour, 0) for all-null-user hours)
+    # while the user-partitioned ops drop them by documented contract
     events = pa.table(
         {
             "event_id": pa.array(range(n_ev), pa.int64()),
-            "ts": pa.array(ts, pa.timestamp("us")),
-            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(
+                [None if i % 47 == 11 else t for i, t in enumerate(ts)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(
+                [None if i % 31 == 4 else int(u) for i, u in enumerate(users)],
+                pa.int64(),
+            ),
             "event_type": pa.array(etypes),
             # 'heartbeat' events: value always NULL and props never
             # carry k — an ALL-NULL aggregate group on every rollup
