@@ -61,6 +61,42 @@ def drop_empty_blocks(ds, empty: "object"):
     return rd.from_arrow_refs(refs)
 
 
+def null_safe_kpart(t, key_cols: list[str], num_parts: int, col: str = "kpart"):
+    """Append an int32 coarse-partition id over possibly-NULL key
+    columns — the shuffle-safety discipline for grouped aggregates on
+    user data: Ray's sort-based groupby compares raw key values across
+    block boundaries and dies on clustered nulls (None < str TypeError
+    for strings, numpy datetime conversion for timestamps), so
+    NO raw user-data key ever rides a Ray groupby. Instead the keys
+    are stringified (nulls -> a sentinel), md5-hashed (vectorized,
+    process-independent) and bucketed; the per-partition finish runs
+    pyarrow's C++ group_by on the REAL nullable keys, which is
+    null-safe. Hash collisions (or the sentinel colliding with a
+    literal key) only CO-LOCATE groups in a partition — never merge
+    them — so correctness is layout-free."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.dedup import _md5_hash_strings
+
+    parts = [
+        pc.coalesce(pc.cast(t.column(c), pa.string()), "\x00N") for c in key_cols
+    ]
+    joined = (
+        parts[0]
+        if len(parts) == 1
+        else pc.binary_join_element_wise(*parts, "\x1f")
+    )
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    if len(joined) == 0:
+        kp = np.empty(0, dtype=np.int32)
+    else:
+        kp = (_md5_hash_strings(joined) % np.uint64(num_parts)).astype(np.int32)
+    return t.append_column(col, pa.array(kp, pa.int32()))
+
+
 def money_units(col, scale: float = 100.0):
     """Per-value fixed-point money: round half-even to integer units
     (cents at scale=100, micros at 1e6) and cast int64. THE parity

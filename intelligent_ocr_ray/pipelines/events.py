@@ -73,32 +73,35 @@ def hourly_rollup(sf_dir: str, *, ds: "rd.Dataset | None" = None) -> rd.Dataset:
             [("cents", "sum"), ([], "count_all")]
         )
 
+    from ..io_utils import null_safe_kpart
+
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = partials.groupby(["hour_us", "event_type"]).aggregate(
-        Sum("cents_sum", alias_name="sum_value_cents"),
-        Sum("count_all", alias_name="n_events"),
+    parted = partials.map_batches(
+        lambda t: null_safe_kpart(t, ["hour_us", "event_type"], 32),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
-    # pin the sum's type: when EVERY group is all-null Ray's aggregate
-    # emits a null-typed column that pandas renders as object(None) —
-    # the oracle side is float64(NaN); an explicit int64 cast keeps the
-    # null-ness while restoring a comparable dtype (review r3)
-    def finish(t: pa.Table) -> pa.Table:
+    # per-partition finish on the REAL nullable keys (pyarrow C++
+    # group_by is null-safe; a null event_type is its own group like
+    # the oracle's GROUP BY). int64 cast pins the all-null sum's type
+    # (review r3: a null-typed column renders as object(None)).
+    def finish(g: pa.Table) -> pa.Table:
+        m = (
+            g.drop_columns(["kpart"])
+            .group_by(["hour_us", "event_type"])
+            .aggregate([("cents_sum", "sum"), ("count_all", "sum")])
+        )
         return pa.table(
             {
-                "hour": pc.cast(t.column("hour_us"), pa.timestamp("us")),
-                "event_type": t.column("event_type"),
-                "sum_value_cents": pc.cast(
-                    t.column("sum_value_cents").combine_chunks()
-                    if isinstance(t.column("sum_value_cents"), pa.ChunkedArray)
-                    else t.column("sum_value_cents"),
-                    pa.int64(),
-                ),
-                "n_events": t.column("n_events"),
+                "hour": pc.cast(m.column("hour_us"), pa.timestamp("us")),
+                "event_type": m.column("event_type"),
+                "sum_value_cents": pc.cast(m.column("cents_sum_sum"), pa.int64()),
+                "n_events": pc.cast(m.column("count_all_sum"), pa.int64()),
             }
         )
 
-    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
 
 
 def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
@@ -116,8 +119,6 @@ def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
     the oracle side).
     """
     import numpy as np
-
-    from ray.data.aggregate import Sum
 
     ds = read_events(sf_dir, columns=["ts", "user_id"])
 
@@ -152,11 +153,18 @@ def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
         c = d.group_by(["hour_us"]).aggregate([("user_id", "count")])
         return c.rename_columns(["hour_us", "n"])
 
-    def to_ts(t: pa.Table) -> pa.Table:
+    from ..io_utils import null_safe_kpart
+
+    def finish(g: pa.Table) -> pa.Table:
+        m = (
+            g.drop_columns(["kpart"])
+            .group_by(["hour_us"])
+            .aggregate([("n", "sum")])
+        )
         return pa.table(
             {
-                "hour": pc.cast(t.column("hour_us"), pa.timestamp("us")),
-                "n_users": t.column("n_users"),
+                "hour": pc.cast(m.column("hour_us"), pa.timestamp("us")),
+                "n_users": pc.cast(m.column("n_sum"), pa.int64()),
             }
         )
 
@@ -164,8 +172,14 @@ def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
     per_part = partials.groupby("upart").map_groups(
         count_partition, batch_format="pyarrow"
     )
-    out = per_part.groupby("hour_us").aggregate(Sum("n", alias_name="n_users"))
-    return out.map_batches(to_ts, batch_format="pyarrow", zero_copy_batch=True)
+    # null-safe final merge (a NULL window key would ride a Ray groupby
+    # otherwise — see io_utils.null_safe_kpart)
+    parted = per_part.map_batches(
+        lambda t: null_safe_kpart(t, ["hour_us"], 32),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
 
 
 def props_rollup(sf_dir: str) -> rd.Dataset:
@@ -185,23 +199,32 @@ def props_rollup(sf_dir: str) -> rd.Dataset:
             [("k", "sum"), ([], "count_all")]
         )
 
+    from ..io_utils import null_safe_kpart
+
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = partials.groupby("event_type").aggregate(
-        Sum("k_sum", alias_name="sum_k"),
-        Sum("count_all", alias_name="n_events"),
-    )
-    # see hourly_rollup: all-null sum columns need an explicit type
-    return agg.map_batches(
-        _cast_column("sum_k", pa.int64()), batch_format="pyarrow", zero_copy_batch=True
+    parted = partials.map_batches(
+        lambda t: null_safe_kpart(t, ["event_type"], 32),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
+    # null-safe finish on the real key (see hourly_rollup); the int64
+    # cast pins the all-null sum's type
+    def finish(g: pa.Table) -> pa.Table:
+        m = (
+            g.drop_columns(["kpart"])
+            .group_by(["event_type"])
+            .aggregate([("k_sum", "sum"), ("count_all", "sum")])
+        )
+        return pa.table(
+            {
+                "event_type": m.column("event_type"),
+                "sum_k": pc.cast(m.column("k_sum_sum"), pa.int64()),
+                "n_events": pc.cast(m.column("count_all_sum"), pa.int64()),
+            }
+        )
 
-def _cast_column(name: str, typ: "pa.DataType"):
-    def f(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index(name)
-        return t.set_column(i, name, t.column(name).cast(typ))
-
-    return f
+    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
 
 
 def _add_user_part(t: pa.Table, num_parts: int) -> pa.Table:

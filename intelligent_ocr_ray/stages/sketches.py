@@ -55,22 +55,28 @@ def _kmv_partial(batch: pa.Table, group_col: str, value_col: str, k: int) -> pa.
     # oracle; str(None) would hash the literal 'None' here)
     sel = sel.filter(pc.is_valid(sel.column(value_col)))
     pairs = sel.group_by([group_col, value_col]).aggregate([])
-    groups = pairs.column(group_col).to_pylist()
+    # segment by batch-local dictionary codes, NOT raw group values:
+    # object-array lexsort dies comparing None < str, and a NULL group
+    # is a real group (SQL GROUP BY keeps it)
+    codes = np.asarray(
+        pairs.column(group_col).combine_chunks().dictionary_encode().indices.fill_null(-1),
+        dtype=np.int64,
+    )
     hx = np.array(_md5_hex(pairs.column(value_col).to_pylist()), dtype=object)
-    garr = np.array(groups, dtype=object)
-    order = np.lexsort((hx, garr))
-    garr, hx = garr[order], hx[order]
+    order = np.lexsort((hx, codes))
+    codes_s, hx_s = codes[order], hx[order]
     starts = np.concatenate(
-        [[0], np.flatnonzero(garr[1:] != garr[:-1]) + 1, [len(garr)]]
+        [[0], np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1, [len(codes_s)]]
     )
     keep = np.concatenate(
         [np.arange(starts[i], min(starts[i] + k, starts[i + 1]))
          for i in range(len(starts) - 1)]
-    ) if len(garr) else np.array([], dtype=np.int64)
+    ) if len(codes_s) else np.array([], dtype=np.int64)
+    kept = order[keep] if len(keep) else np.array([], dtype=np.int64)
     return pa.table(
         {
-            group_col: pa.array(list(garr[keep]), pairs.column(group_col).type),
-            "hx": pa.array(list(hx[keep]), pa.string()),
+            group_col: pairs.column(group_col).take(pa.array(kept, pa.int64())),
+            "hx": pa.array(list(hx[kept]), pa.string()),
         }
     )
 
@@ -88,22 +94,52 @@ def kmv_distinct(ds, group_col: str, value_col: str, k: int = DEFAULT_K):
         zero_copy_batch=True,
     )
 
-    def merge(group: pa.Table) -> pa.Table:
-        g = group.column(group_col)[0]
-        hx = sorted(set(group.column("hx").to_pylist()))
-        if len(hx) < k:
-            est = len(hx)  # no partial truncated → exact
-        else:
-            v = int(hx[k - 1][:16], 16)
-            est = (k - 1) * _SCALE // max(v, 1)
+    def merge(part: pa.Table) -> pa.Table:
+        # a kpart partition may hold SEVERAL groups (hash co-location)
+        # including the NULL group — segment by dictionary codes and
+        # finish each group's bottom-k independently
+        t = part.drop_columns(["kpart"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], t.column(group_col).type),
+                    "n_distinct_est": pa.array([], pa.int64()),
+                }
+            )
+        codes = np.asarray(
+            t.column(group_col).combine_chunks().dictionary_encode().indices.fill_null(-1),
+            dtype=np.int64,
+        )
+        hx = np.asarray(t.column("hx").cast(pa.large_string()), dtype=object)
+        order = np.lexsort((hx, codes))
+        codes_s, hx_s = codes[order], hx[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1, [len(codes_s)]]
+        )
+        rep_rows, ests = [], []
+        for i in range(len(bounds) - 1):
+            u = np.unique(hx_s[bounds[i] : bounds[i + 1]])  # sorted distinct
+            if len(u) < k:
+                est = len(u)  # no partial truncated → exact
+            else:
+                est = (k - 1) * _SCALE // max(int(u[k - 1][:16], 16), 1)
+            rep_rows.append(int(order[bounds[i]]))
+            ests.append(est)
         return pa.table(
             {
-                group_col: pa.array([g.as_py()], group.column(group_col).type),
-                "n_distinct_est": pa.array([est], pa.int64()),
+                group_col: t.column(group_col).take(pa.array(rep_rows, pa.int64())),
+                "n_distinct_est": pa.array(ests, pa.int64()),
             }
         )
 
-    return partials.groupby(group_col).map_groups(merge, batch_format="pyarrow")
+    from ..io_utils import null_safe_kpart
+
+    parted = partials.map_batches(
+        lambda t: null_safe_kpart(t, [group_col], 32),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return parted.groupby("kpart").map_groups(merge, batch_format="pyarrow")
 
 
 # --- exact distributed quantiles (histogram CDF walk) ---------------------
@@ -149,23 +185,53 @@ def group_quantiles(
         g = h.group_by([group_col, "cents"]).aggregate([([], "count_all")])
         return g.rename_columns([group_col, "cents", "n"])
 
-    def finish(group: pa.Table) -> pa.Table:
-        key = group.column(group_col)[0].as_py()
-        # merge partial histograms, then CDF walk
-        m = group.group_by(["cents"]).aggregate([("n", "sum")])
+    def finish(part: pa.Table) -> pa.Table:
+        # a kpart partition may hold several groups (incl. the NULL
+        # group): merge histograms per (group, cents) with pyarrow's
+        # null-safe group_by, then one CDF walk per group segment
+        t = part.drop_columns(["kpart"])
+        gtype = t.column(group_col).type
+        if t.num_rows == 0:
+            cols: dict = {group_col: pa.array([], gtype)}
+            for lab in labels:
+                cols[lab] = pa.array([], pa.int64())
+            cols["n_values"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        m = t.group_by([group_col, "cents"]).aggregate([("n", "sum")])
+        codes = np.asarray(
+            m.column(group_col).combine_chunks().dictionary_encode().indices.fill_null(-1),
+            dtype=np.int64,
+        )
         cents = np.asarray(m.column("cents"), dtype=np.int64)
         counts = np.asarray(m.column("n_sum"), dtype=np.int64)
-        order = np.argsort(cents)
-        cents, counts = cents[order], counts[order]
-        cum = np.cumsum(counts)
-        n = int(cum[-1])
-        cols: dict = {group_col: pa.array([key], group.column(group_col).type)}
-        for q, lab in zip(qs, labels):
-            idx = max(0, math.ceil(q * n) - 1)  # = DuckDB quantile_disc
-            pos = int(np.searchsorted(cum, idx + 1, side="left"))
-            cols[lab] = pa.array([int(cents[pos])], pa.int64())
-        cols["n_values"] = pa.array([n], pa.int64())
+        order = np.lexsort((cents, codes))
+        codes_s, cents_s, counts_s = codes[order], cents[order], counts[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1, [len(codes_s)]]
+        )
+        rep_rows, qcols, nvals = [], [[] for _ in qs], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            cum = np.cumsum(counts_s[lo:hi])
+            n = int(cum[-1])
+            for j, q in enumerate(qs):
+                idx = max(0, math.ceil(q * n) - 1)  # = DuckDB quantile_disc
+                pos = int(np.searchsorted(cum, idx + 1, side="left"))
+                qcols[j].append(int(cents_s[lo + pos]))
+            rep_rows.append(int(order[lo]))
+            nvals.append(n)
+        cols = {group_col: m.column(group_col).take(pa.array(rep_rows, pa.int64()))}
+        for lab, vals in zip(labels, qcols):
+            cols[lab] = pa.array(vals, pa.int64())
+        cols["n_values"] = pa.array(nvals, pa.int64())
         return pa.table(cols)
 
+    from ..io_utils import null_safe_kpart
+
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby(group_col).map_groups(finish, batch_format="pyarrow")
+    parted = partials.map_batches(
+        lambda t: null_safe_kpart(t, [group_col], 32),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")

@@ -68,8 +68,15 @@ def build_warehouse(out_dir: str, seed: int, n_docs: int = 400) -> None:
         {
             "doc_id": pa.array(range(n_docs), pa.int64()),
             "text": pa.array(texts, pa.string()),
+            # ~4% null lang: a NULL group must ride every lang-grouped
+            # aggregate/top-k/rebalance like the oracle's GROUP BY NULL
             "lang": pa.array(
-                [rng.choice(["en", "de", "fr", "cjk", "other"]) for _ in range(n_docs)]
+                [
+                    None
+                    if i % 29 == 3
+                    else rng.choice(["en", "de", "fr", "cjk", "other"])
+                    for i in range(n_docs)
+                ]
             ),
             # ~4% null provenance: source_overlap must drop the null
             # class without tripping any shuffle (round-4e regression)
@@ -106,7 +113,14 @@ def build_warehouse(out_dir: str, seed: int, n_docs: int = 400) -> None:
     users = nrng.randint(0, 40, size=n_ev)
     users[: n_ev // 4] = 7  # skewed hot user
     ts = [t0 + datetime.timedelta(seconds=int(x)) for x in np.sort(nrng.randint(0, 90_000, size=n_ev))]
-    etypes = [rng.choice(["view", "click", "purchase", "signup", "error", "heartbeat"]) for _ in range(n_ev)]
+    # ~3% null event_type: the NULL group must survive every
+    # event_type-grouped rollup/sketch/quantile (null_safe_kpart)
+    etypes = [
+        None
+        if i % 37 == 9
+        else rng.choice(["view", "click", "purchase", "signup", "error", "heartbeat"])
+        for i in range(n_ev)
+    ]
     # 4-decimal money: off the cent grid, so rounding boundaries
     # carry real probability mass (the order-sensitivity trap)
     vals = np.round(nrng.gamma(2.0, 8.0, size=n_ev), 4)
