@@ -21,7 +21,7 @@ import os
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Sum
+
 
 
 def _read(
@@ -80,13 +80,35 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
              ([], "count_all")]
         )
 
+    from ..io_utils import null_safe_kpart
+
+    def finish(g: pa.Table) -> pa.Table:
+        m = (
+            g.drop_columns(["kpart"])
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [("qty_cents_sum", "sum"), ("base_cents_sum", "sum"),
+                 ("disc_micros_sum", "sum"), ("count_all", "sum")]
+            )
+        )
+        return pa.table(
+            {
+                "l_returnflag": m.column("l_returnflag"),
+                "l_linestatus": m.column("l_linestatus"),
+                "sum_qty_cents": pc.cast(m.column("qty_cents_sum_sum"), pa.int64()),
+                "sum_base_price_cents": pc.cast(m.column("base_cents_sum_sum"), pa.int64()),
+                "sum_disc_price_micros": pc.cast(m.column("disc_micros_sum_sum"), pa.int64()),
+                "count_order": pc.cast(m.column("count_all_sum"), pa.int64()),
+            }
+        )
+
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_cents_sum", alias_name="sum_qty_cents"),
-        Sum("base_cents_sum", alias_name="sum_base_price_cents"),
-        Sum("disc_micros_sum", alias_name="sum_disc_price_micros"),
-        Sum("count_all", alias_name="count_order"),
+    parted = partials.map_batches(
+        lambda t: null_safe_kpart(t, ["l_returnflag", "l_linestatus"], 16),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
 
 
 def _key_lookup(keys: "pa.Array | pa.ChunkedArray", values) -> "tuple":
@@ -156,11 +178,29 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
             [("cents", "sum"), ([], "count_all")]
         )
 
+    from ..io_utils import null_safe_kpart
+
+    def finish(g: pa.Table) -> pa.Table:
+        m = (
+            g.drop_columns(["kpart"])
+            .group_by(["n_name"])
+            .aggregate([("cents_sum", "sum"), ("count_all", "sum")])
+        )
+        return pa.table(
+            {
+                "n_name": m.column("n_name"),
+                "revenue_cents": pc.cast(m.column("cents_sum_sum"), pa.int64()),
+                "n_orders": pc.cast(m.column("count_all_sum"), pa.int64()),
+            }
+        )
+
     partials = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby("n_name").aggregate(
-        Sum("cents_sum", alias_name="revenue_cents"),
-        Sum("count_all", alias_name="n_orders"),
+    parted = partials.map_batches(
+        lambda t: null_safe_kpart(t, ["n_name"], 16),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
 
 
 def top_parts_by_size(sf_dir: str, k: int = 10) -> rd.Dataset:
@@ -217,12 +257,30 @@ def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
             [("cents", "sum"), ([], "count_all")]
         )
 
+    from ..io_utils import null_safe_kpart
+
+    def finish(g: pa.Table) -> pa.Table:
+        m = (
+            g.drop_columns(["kpart"])
+            .group_by(["r_name"])
+            .aggregate([("cents_sum", "sum"), ("count_all", "sum")])
+        )
+        return pa.table(
+            {
+                "r_name": m.column("r_name"),
+                "total_balance_cents": pc.cast(m.column("cents_sum_sum"), pa.int64()),
+                "n_suppliers": pc.cast(m.column("count_all_sum"), pa.int64()),
+            }
+        )
+
     suppliers = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
     partials = suppliers.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby("r_name").aggregate(
-        Sum("cents_sum", alias_name="total_balance_cents"),
-        Sum("count_all", alias_name="n_suppliers"),
+    parted = partials.map_batches(
+        lambda t: null_safe_kpart(t, ["r_name"], 16),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
 
 
 def broadcast_range_join(
