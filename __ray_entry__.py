@@ -680,6 +680,23 @@ def _q_top_docs_per_lang(sf_dir: str):
     return top_docs_per_group(_docs(sf_dir, ["doc_id", "lang", "n_chars"]), k=5)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Importance-weighted deterministic sampling: keep probability
+    proportional to min(n_tokens, 80)% — a pure function of (id, text),
+    stable under re-runs/partitioning; the oracle replays the LEAST +
+    two-step Lehmer arithmetic verbatim."""
+    import functools
+
+    from intelligent_ocr_ray.stages.sampling import weighted_sample_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        functools.partial(weighted_sample_batch, cap_pct=80),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["doc_id", "n_tokens"])
+
+
 def _q_keyword_search(sf_dir: str):
     """Top-k documents by query-term hit count (the integer core of
     BM25-family retrieval): broadcast term set, vectorized per-batch
@@ -749,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_bpe": _q_token_stats_bpe,
         "lang_id_ngram": _q_lang_id_ngram,
         "sample_docs": _q_sample_docs,
+        "weighted_sample": _q_weighted_sample,
         "dataset_split": _q_dataset_split,
         "lang_rebalance": _q_lang_rebalance,
         "exact_dedup": _q_exact_dedup,
@@ -1381,6 +1399,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE ((((doc_id * 48271) % 2147483647) * 48271) % 2147483647) % 100 <
                   CASE lang WHEN 'en' THEN 25 WHEN 'cjk' THEN 50 ELSE 100 END
+        """,
+        "weighted_sample": f"""
+            WITH t AS (SELECT doc_id,
+                              len(regexp_extract_all(coalesce(text, ''), {_TOKEN_RE_SQL})) AS n_tokens
+                       FROM documents)
+            SELECT doc_id, n_tokens FROM t
+            WHERE ((((doc_id * 48271) % 2147483647) * 48271) % 2147483647) % 100
+                  < least(n_tokens, 80)
         """,
         "dataset_split": """
             SELECT doc_id,

@@ -52,6 +52,37 @@ def split_batch(
     return batch.append_column("split", pa.array(split, pa.string()))
 
 
+def weighted_sample_batch(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap_pct: int = 80,
+) -> pa.Table:
+    """Importance-weighted deterministic sampling — the data-mixing
+    step that keeps a document with probability proportional to a
+    per-row QUALITY WEIGHT instead of a flat rate (here: token count
+    capped at ``cap_pct``%, the "longer docs are likelier kept" mixing
+    rule; swap the weight expression for any integer per-row score).
+    A row survives iff its Lehmer id-hash bucket < min(n_tokens,
+    cap_pct) — a pure function of (id, text), stable under re-runs and
+    partitioning, with the weight arithmetic (LEAST + the two-step
+    Lehmer replay) expressible verbatim in the oracle SQL."""
+    from .text_stats import TOKEN_PATTERN
+
+    n_tokens = pc.cast(
+        pc.count_substring_regex(
+            pc.coalesce(batch.column(text_col), pa.scalar("", pa.string())),
+            TOKEN_PATTERN,
+        ),
+        pa.int64(),
+    )
+    weight = np.minimum(np.asarray(n_tokens, dtype=np.int64), cap_pct)
+    b = _bucket(batch.column(id_col))
+    out = batch.append_column("n_tokens", n_tokens)
+    return out.filter(pa.array(b < weight))
+
+
 def sample_docs(sf_dir: str, rate_pct: int = 10):
     import functools
     import os

@@ -261,6 +261,44 @@ def test_source_overlap_all_null_source_block():
     ]
 
 
+def test_weighted_sample_matches_duckdb():
+    from intelligent_ocr_ray.stages.sampling import weighted_sample_batch
+
+    # weights hit the interesting branches: 0 tokens (never kept),
+    # 1-2 tokens (tiny keep probability), > cap (clamped to cap)
+    texts = ["", None, "a", "a b", " ".join(["w"] * 200), "x y z"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(100, 100 + len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        weighted_sample_batch(tbl, cap_pct=80)
+        .select(["doc_id", "n_tokens"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(
+        f"""
+        WITH t AS (SELECT doc_id,
+                          len(regexp_extract_all(coalesce(text, ''), {TOKEN_SQL})) AS n_tokens
+                   FROM documents)
+        SELECT doc_id, n_tokens FROM t
+        WHERE ((((doc_id * 48271) % 2147483647) * 48271) % 2147483647) % 100
+              < least(n_tokens, 80)
+        ORDER BY doc_id
+        """
+    ).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    # zero-token docs can never survive
+    assert 100 not in got["doc_id"].tolist() and 101 not in got["doc_id"].tolist()
+
+
 def test_quantile_filter_empty_corpus():
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
