@@ -244,7 +244,7 @@ def _q_doc_stats_by_lang(sf_dir: str):
     null-safe coarse key partitions (a null lang is a real group, and a
     raw string key must never ride a Ray groupby — io_utils
     .null_safe_kpart) → per-partition C++ group_by finish."""
-    from intelligent_ocr_ray.io_utils import null_safe_kpart
+    from intelligent_ocr_ray.io_utils import null_safe_grouped_sum
 
     ds = _docs(sf_dir, ["lang", "n_chars"])
 
@@ -252,26 +252,12 @@ def _q_doc_stats_by_lang(sf_dir: str):
         g = t.group_by(["lang"]).aggregate(
             [([], "count_all"), ("n_chars", "sum")]
         )
-        return null_safe_kpart(
-            g.rename_columns(["lang", "n", "chars"]), ["lang"], 16
-        )
+        return g.rename_columns(["lang", "n", "chars"])
 
-    def finish(g: pa.Table) -> pa.Table:
-        m = (
-            g.drop_columns(["kpart"])
-            .group_by(["lang"])
-            .aggregate([("n", "sum"), ("chars", "sum")])
-        )
-        return pa.table(
-            {
-                "lang": m.column("lang"),
-                "n_docs": pc.cast(m.column("n_sum"), pa.int64()),
-                "sum_chars": pc.cast(m.column("chars_sum"), pa.int64()),
-            }
-        )
-
-    parted = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_grouped_sum(
+        partials, ["lang"], [("n", "n_docs"), ("chars", "sum_chars")]
+    )
 
 
 def _q_events_hourly(sf_dir: str):

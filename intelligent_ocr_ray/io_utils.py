@@ -97,6 +97,41 @@ def null_safe_kpart(t, key_cols: list[str], num_parts: int, col: str = "kpart"):
     return t.append_column(col, pa.array(kp, pa.int32()))
 
 
+def null_safe_grouped_sum(
+    partials,
+    key_cols: list[str],
+    sums: list[tuple[str, str]],
+    num_parts: int = 16,
+):
+    """The standard finish for a partial-aggregate rollup on user-data
+    keys: bucket by :func:`null_safe_kpart`, then per partition run
+    pyarrow's null-safe C++ ``group_by`` over the REAL keys and sum
+    each ``(partial_col, out_name)`` in ``sums`` (int64-cast — an
+    all-null sum otherwise yields a null-typed column that pandas
+    renders as object(None)). One definition so the next null-key or
+    aggregate-naming fix lands everywhere at once."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def finish(g: "pa.Table") -> "pa.Table":
+        m = (
+            g.drop_columns(["kpart"])
+            .group_by(key_cols)
+            .aggregate([(c, "sum") for c, _ in sums])
+        )
+        cols = {k: m.column(k) for k in key_cols}
+        for c, name in sums:
+            cols[name] = pc.cast(m.column(f"{c}_sum"), pa.int64())
+        return pa.table(cols)
+
+    parted = partials.map_batches(
+        lambda t: null_safe_kpart(t, key_cols, num_parts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
+
+
 def money_units(col, scale: float = 100.0):
     """Per-value fixed-point money: round half-even to integer units
     (cents at scale=100, micros at 1e6) and cast int64. THE parity

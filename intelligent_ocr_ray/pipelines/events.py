@@ -19,7 +19,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
 
 
 def read_events(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -73,35 +72,27 @@ def hourly_rollup(sf_dir: str, *, ds: "rd.Dataset | None" = None) -> rd.Dataset:
             [("cents", "sum"), ([], "count_all")]
         )
 
-    from ..io_utils import null_safe_kpart
+    from ..io_utils import null_safe_grouped_sum
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    parted = partials.map_batches(
-        lambda t: null_safe_kpart(t, ["hour_us", "event_type"], 32),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    out = null_safe_grouped_sum(
+        partials,
+        ["hour_us", "event_type"],
+        [("cents_sum", "sum_value_cents"), ("count_all", "n_events")],
+        num_parts=32,
     )
 
-    # per-partition finish on the REAL nullable keys (pyarrow C++
-    # group_by is null-safe; a null event_type is its own group like
-    # the oracle's GROUP BY). int64 cast pins the all-null sum's type
-    # (review r3: a null-typed column renders as object(None)).
-    def finish(g: pa.Table) -> pa.Table:
-        m = (
-            g.drop_columns(["kpart"])
-            .group_by(["hour_us", "event_type"])
-            .aggregate([("cents_sum", "sum"), ("count_all", "sum")])
-        )
+    def to_ts(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "hour": pc.cast(m.column("hour_us"), pa.timestamp("us")),
-                "event_type": m.column("event_type"),
-                "sum_value_cents": pc.cast(m.column("cents_sum_sum"), pa.int64()),
-                "n_events": pc.cast(m.column("count_all_sum"), pa.int64()),
+                "hour": pc.cast(t.column("hour_us"), pa.timestamp("us")),
+                "event_type": t.column("event_type"),
+                "sum_value_cents": t.column("sum_value_cents"),
+                "n_events": t.column("n_events"),
             }
         )
 
-    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
+    return out.map_batches(to_ts, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
@@ -118,7 +109,6 @@ def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
     sums them. Null users are excluded (count(DISTINCT) semantics on
     the oracle side).
     """
-    import numpy as np
 
     ds = read_events(sf_dir, columns=["ts", "user_id"])
 
@@ -153,20 +143,7 @@ def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
         c = d.group_by(["hour_us"]).aggregate([("user_id", "count")])
         return c.rename_columns(["hour_us", "n"])
 
-    from ..io_utils import null_safe_kpart
-
-    def finish(g: pa.Table) -> pa.Table:
-        m = (
-            g.drop_columns(["kpart"])
-            .group_by(["hour_us"])
-            .aggregate([("n", "sum")])
-        )
-        return pa.table(
-            {
-                "hour": pc.cast(m.column("hour_us"), pa.timestamp("us")),
-                "n_users": pc.cast(m.column("n_sum"), pa.int64()),
-            }
-        )
+    from ..io_utils import null_safe_grouped_sum
 
     partials = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
     per_part = partials.groupby("upart").map_groups(
@@ -174,12 +151,19 @@ def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
     )
     # null-safe final merge (a NULL window key would ride a Ray groupby
     # otherwise — see io_utils.null_safe_kpart)
-    parted = per_part.map_batches(
-        lambda t: null_safe_kpart(t, ["hour_us"], 32),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    out = null_safe_grouped_sum(
+        per_part, ["hour_us"], [("n", "n_users")], num_parts=32
     )
-    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.cast(t.column("hour_us"), pa.timestamp("us")),
+                "n_users": t.column("n_users"),
+            }
+        )
+
+    return out.map_batches(to_ts, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def props_rollup(sf_dir: str) -> rd.Dataset:
@@ -199,32 +183,15 @@ def props_rollup(sf_dir: str) -> rd.Dataset:
             [("k", "sum"), ([], "count_all")]
         )
 
-    from ..io_utils import null_safe_kpart
+    from ..io_utils import null_safe_grouped_sum
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    parted = partials.map_batches(
-        lambda t: null_safe_kpart(t, ["event_type"], 32),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    return null_safe_grouped_sum(
+        partials,
+        ["event_type"],
+        [("k_sum", "sum_k"), ("count_all", "n_events")],
+        num_parts=32,
     )
-
-    # null-safe finish on the real key (see hourly_rollup); the int64
-    # cast pins the all-null sum's type
-    def finish(g: pa.Table) -> pa.Table:
-        m = (
-            g.drop_columns(["kpart"])
-            .group_by(["event_type"])
-            .aggregate([("k_sum", "sum"), ("count_all", "sum")])
-        )
-        return pa.table(
-            {
-                "event_type": m.column("event_type"),
-                "sum_k": pc.cast(m.column("k_sum_sum"), pa.int64()),
-                "n_events": pc.cast(m.column("count_all_sum"), pa.int64()),
-            }
-        )
-
-    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
 
 
 def _add_user_part(t: pa.Table, num_parts: int) -> pa.Table:
@@ -328,10 +295,10 @@ def rolling_user_daily(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
                 ),
             )
         )
+        from ..io_utils import money_units
+
         day = pc.floor_temporal(t.column("ts"), unit="day")
-        cents = pc.cast(
-            pc.round(pc.multiply(t.column("value"), 100.0), ndigits=0), pa.int64()
-        )
+        cents = money_units(t.column("value"))
         g = pa.table(
             {"user_id": t.column("user_id"), "day": day, "cents": cents}
         )

@@ -80,35 +80,19 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
              ([], "count_all")]
         )
 
-    from ..io_utils import null_safe_kpart
-
-    def finish(g: pa.Table) -> pa.Table:
-        m = (
-            g.drop_columns(["kpart"])
-            .group_by(["l_returnflag", "l_linestatus"])
-            .aggregate(
-                [("qty_cents_sum", "sum"), ("base_cents_sum", "sum"),
-                 ("disc_micros_sum", "sum"), ("count_all", "sum")]
-            )
-        )
-        return pa.table(
-            {
-                "l_returnflag": m.column("l_returnflag"),
-                "l_linestatus": m.column("l_linestatus"),
-                "sum_qty_cents": pc.cast(m.column("qty_cents_sum_sum"), pa.int64()),
-                "sum_base_price_cents": pc.cast(m.column("base_cents_sum_sum"), pa.int64()),
-                "sum_disc_price_micros": pc.cast(m.column("disc_micros_sum_sum"), pa.int64()),
-                "count_order": pc.cast(m.column("count_all_sum"), pa.int64()),
-            }
-        )
+    from ..io_utils import null_safe_grouped_sum
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    parted = partials.map_batches(
-        lambda t: null_safe_kpart(t, ["l_returnflag", "l_linestatus"], 16),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    return null_safe_grouped_sum(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("qty_cents_sum", "sum_qty_cents"),
+            ("base_cents_sum", "sum_base_price_cents"),
+            ("disc_micros_sum", "sum_disc_price_micros"),
+            ("count_all", "count_order"),
+        ],
     )
-    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
 
 
 def _key_lookup(keys: "pa.Array | pa.ChunkedArray", values) -> "tuple":
@@ -178,29 +162,14 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
             [("cents", "sum"), ([], "count_all")]
         )
 
-    from ..io_utils import null_safe_kpart
-
-    def finish(g: pa.Table) -> pa.Table:
-        m = (
-            g.drop_columns(["kpart"])
-            .group_by(["n_name"])
-            .aggregate([("cents_sum", "sum"), ("count_all", "sum")])
-        )
-        return pa.table(
-            {
-                "n_name": m.column("n_name"),
-                "revenue_cents": pc.cast(m.column("cents_sum_sum"), pa.int64()),
-                "n_orders": pc.cast(m.column("count_all_sum"), pa.int64()),
-            }
-        )
+    from ..io_utils import null_safe_grouped_sum
 
     partials = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    parted = partials.map_batches(
-        lambda t: null_safe_kpart(t, ["n_name"], 16),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    return null_safe_grouped_sum(
+        partials,
+        ["n_name"],
+        [("cents_sum", "revenue_cents"), ("count_all", "n_orders")],
     )
-    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
 
 
 def top_parts_by_size(sf_dir: str, k: int = 10) -> rd.Dataset:
@@ -257,30 +226,15 @@ def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
             [("cents", "sum"), ([], "count_all")]
         )
 
-    from ..io_utils import null_safe_kpart
-
-    def finish(g: pa.Table) -> pa.Table:
-        m = (
-            g.drop_columns(["kpart"])
-            .group_by(["r_name"])
-            .aggregate([("cents_sum", "sum"), ("count_all", "sum")])
-        )
-        return pa.table(
-            {
-                "r_name": m.column("r_name"),
-                "total_balance_cents": pc.cast(m.column("cents_sum_sum"), pa.int64()),
-                "n_suppliers": pc.cast(m.column("count_all_sum"), pa.int64()),
-            }
-        )
+    from ..io_utils import null_safe_grouped_sum
 
     suppliers = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
     partials = suppliers.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    parted = partials.map_batches(
-        lambda t: null_safe_kpart(t, ["r_name"], 16),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    return null_safe_grouped_sum(
+        partials,
+        ["r_name"],
+        [("cents_sum", "total_balance_cents"), ("count_all", "n_suppliers")],
     )
-    return parted.groupby("kpart").map_groups(finish, batch_format="pyarrow")
 
 
 def broadcast_range_join(

@@ -64,7 +64,7 @@ def _kmv_partial(batch: pa.Table, group_col: str, value_col: str, k: int) -> pa.
     )
     hx = np.array(_md5_hex(pairs.column(value_col).to_pylist()), dtype=object)
     order = np.lexsort((hx, codes))
-    codes_s, hx_s = codes[order], hx[order]
+    codes_s = codes[order]
     starts = np.concatenate(
         [[0], np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1, [len(codes_s)]]
     )
@@ -110,7 +110,7 @@ def kmv_distinct(ds, group_col: str, value_col: str, k: int = DEFAULT_K):
             t.column(group_col).combine_chunks().dictionary_encode().indices.fill_null(-1),
             dtype=np.int64,
         )
-        hx = np.asarray(t.column("hx").cast(pa.large_string()), dtype=object)
+        hx = np.asarray(t.column("hx").combine_chunks(), dtype=object)
         order = np.lexsort((hx, codes))
         codes_s, hx_s = codes[order], hx[order]
         bounds = np.concatenate(

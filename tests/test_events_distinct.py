@@ -68,6 +68,11 @@ def test_hourly_rollup_survives_all_null_ts_block(tmp_path):
     got = hourly_rollup("", ds=ds).to_pandas().sort_values(
         ["hour", "event_type"], na_position="first"
     ).reset_index(drop=True)
+    # also drive Ray's real parquet-read path over the ALL-null-ts file
+    # alone (one block, every window key null) — must not crash and must
+    # produce exactly the NaT windows
+    pq_only = hourly_rollup(d).to_pandas()
+    assert len(pq_only) == 2 and pq_only["hour"].isna().all()
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/*.parquet')"
