@@ -666,6 +666,19 @@ def _q_top_docs_per_lang(sf_dir: str):
     return top_docs_per_group(_docs(sf_dir, ["doc_id", "lang", "n_chars"]), k=5)
 
 
+def _q_cms_counts(sf_dir: str):
+    """Count-Min sketch heavy-hitter estimates for a query token set:
+    per-batch (d×w) mergeable count matrices (one md5 pass over each
+    batch's distinct tokens + d modular transforms), elementwise-merged
+    via one tiny int-keyed groupby; the oracle replays the md5-derived
+    universal-hash arithmetic verbatim."""
+    from intelligent_ocr_ray.stages.sketches import cms_token_counts
+
+    return cms_token_counts(
+        _docs(sf_dir, ["text"]), ("hash", "join", "merge", "scan")
+    )
+
+
 def _q_weighted_sample(sf_dir: str):
     """Importance-weighted deterministic sampling: keep probability
     proportional to min(n_tokens, 80)% — a pure function of (id, text),
@@ -763,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_rolling": _q_events_rolling,
         "distinct_users_kmv": _q_distinct_users_kmv,
+        "cms_counts": _q_cms_counts,
         "events_hourly_users": _q_events_hourly_users,
         "events_quantiles": _q_events_quantiles,
         "pricing_summary": _q_pricing_summary,
@@ -1444,6 +1458,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "cms_counts": f"""
+            WITH tok AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), {_TOKEN_RE_SQL})) AS token
+                         FROM documents),
+            r AS (SELECT unnest(generate_series(0, 3)) AS r),
+            coef AS (SELECT r,
+                            (md5_number_lower('cms-a-' || CAST(r AS VARCHAR)) % 2147483646) + 1 AS a,
+                            md5_number_lower('cms-b-' || CAST(r AS VARCHAR)) % 2147483647 AS b
+                     FROM r),
+            cells AS (SELECT c.r,
+                             ((c.a * (md5_number_lower(token) % 4294967296) + c.b) % 2147483647) % 1024 AS cell,
+                             count(*) AS n
+                      FROM tok, coef c GROUP BY 1, 2),
+            q AS (SELECT unnest(['hash', 'join', 'merge', 'scan']) AS token),
+            qc AS (SELECT q.token, c.r,
+                          ((c.a * (md5_number_lower(q.token) % 4294967296) + c.b) % 2147483647) % 1024 AS cell
+                   FROM q, coef c)
+            SELECT qc.token, CAST(min(coalesce(cells.n, 0)) AS BIGINT) AS est_count
+            FROM qc LEFT JOIN cells ON cells.r = qc.r AND cells.cell = qc.cell
+            GROUP BY qc.token
         """,
         "events_quantiles": """
             WITH c AS (SELECT event_type,

@@ -142,6 +142,114 @@ def kmv_distinct(ds, group_col: str, value_col: str, k: int = DEFAULT_K):
     return parted.groupby("kpart").map_groups(merge, batch_format="pyarrow")
 
 
+# --- Count-Min sketch (mergeable heavy-hitter counts) ----------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+_CMS_P = 2147483647  # 2^31 - 1 (every product stays < 2^63)
+
+
+def _cms_coeffs(d: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row universal-hash coefficients, md5-derived so the DuckDB
+    oracle computes the IDENTICAL integers from the same strings."""
+    from .dedup import _md5_low64
+
+    a = np.array(
+        [(_md5_low64(f"cms-a-{r}".encode()) % (_CMS_P - 1)) + 1 for r in range(d)],
+        dtype=np.uint64,
+    )
+    b = np.array(
+        [_md5_low64(f"cms-b-{r}".encode()) % _CMS_P for r in range(d)],
+        dtype=np.uint64,
+    )
+    return a, b
+
+
+def cms_token_counts(
+    ds,
+    query_tokens: tuple[str, ...],
+    *,
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+    text_col: str = "text",
+) -> pa.Table:
+    """Count-Min sketch estimate of each query token's total instance
+    count — the mergeable heavy-hitter counter for streams where the
+    exact vocabulary is too wide to shuffle (Cormode & Muthukrishnan):
+    guaranteed est >= true, overestimate bounded by collisions in w
+    cells.
+
+    Hash r of a token = (a_r * (md5_64(token) % 2^32) + b_r) mod
+    (2^31-1) mod w — the minhash discipline: md5-derived modular
+    arithmetic the oracle replays verbatim, every intermediate < 2^63
+    so numpy uint64 and DuckDB HUGEINT agree bit-for-bit.
+
+    Scale shape: each batch reduces to a (d x w) int64 count matrix
+    (one md5 pass over the batch's DISTINCT tokens, then d modular
+    transforms + scatter-adds); matrices are elementwise-mergeable, so
+    the shuffle carries <= d*w (cell, n) rows per batch and one tiny
+    int-keyed groupby finishes. The driver sees only the d*w matrix.
+    Returns (token, est_count) for the queried tokens, token ASC.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _md5_hash_strings, _md5_low64, _tokenized_rows
+
+    a, b = _cms_coeffs(d)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"rc": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        tr = _tokenized_rows(t.column(text_col))
+        if tr is None:
+            return empty
+        _, toks = tr
+        flat = toks.flatten()
+        if not len(flat):
+            return empty
+        uniq32, idx = _md5_hash_strings(flat, bits=32, encoded=True)
+        per_uniq = np.bincount(idx, minlength=len(uniq32)).astype(np.int64)
+        mat = np.zeros((d, w), np.int64)
+        for r in range(d):
+            h = ((a[r] * uniq32 + b[r]) % np.uint64(_CMS_P)) % np.uint64(w)
+            np.add.at(mat[r], h.astype(np.int64), per_uniq)
+        rr, cc = np.nonzero(mat)
+        return pa.table(
+            {
+                "rc": pa.array(rr * w + cc, pa.int64()),
+                "n": pa.array(mat[rr, cc], pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("rc")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    mat = np.zeros((d, w), np.int64)
+    if len(cells):
+        rc = cells["rc"].to_numpy(dtype=np.int64)
+        mat[rc // w, rc % w] = cells["n"].to_numpy(dtype=np.int64)
+
+    out_tokens = sorted(set(query_tokens))
+    ests = []
+    for q in out_tokens:
+        base = np.uint64(_md5_low64(q.encode("utf-8")) & 0xFFFFFFFF)
+        est = min(
+            int(mat[r, int(((a[r] * base + b[r]) % np.uint64(_CMS_P)) % np.uint64(w))])
+            for r in range(d)
+        )
+        ests.append(est)
+    return pa.table(
+        {
+            "token": pa.array(out_tokens, pa.string()),
+            "est_count": pa.array(ests, pa.int64()),
+        }
+    )
+
+
 # --- exact distributed quantiles (histogram CDF walk) ---------------------
 
 

@@ -299,6 +299,55 @@ def test_weighted_sample_matches_duckdb():
     assert 100 not in got["doc_id"].tolist() and 101 not in got["doc_id"].tolist()
 
 
+CMS_SQL = r"""
+    WITH tok AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\r\n]+')) AS token
+                 FROM documents),
+    r AS (SELECT unnest(generate_series(0, 3)) AS r),
+    coef AS (SELECT r,
+                    (md5_number_lower('cms-a-' || CAST(r AS VARCHAR)) % 2147483646) + 1 AS a,
+                    md5_number_lower('cms-b-' || CAST(r AS VARCHAR)) % 2147483647 AS b
+             FROM r),
+    cells AS (SELECT c.r,
+                     ((c.a * (md5_number_lower(token) % 4294967296) + c.b) % 2147483647) % 1024 AS cell,
+                     count(*) AS n
+              FROM tok, coef c GROUP BY 1, 2),
+    q AS (SELECT unnest(?) AS token),
+    qc AS (SELECT q.token, c.r,
+                  ((c.a * (md5_number_lower(q.token) % 4294967296) + c.b) % 2147483647) % 1024 AS cell
+           FROM q, coef c)
+    SELECT qc.token, CAST(min(coalesce(cells.n, 0)) AS BIGINT) AS est_count
+    FROM qc LEFT JOIN cells ON cells.r = qc.r AND cells.cell = qc.cell
+    GROUP BY qc.token ORDER BY qc.token
+"""
+
+
+def test_cms_counts_match_duckdb_and_dominate_truth():
+    from intelligent_ocr_ray.stages.sketches import cms_token_counts
+
+    texts = [
+        "hash join hash merge scan",
+        "hash hash hash",
+        None,
+        "",
+        "join scan scan",
+    ]
+    queries = ("hash", "join", "scan", "zzz")
+    got = (
+        cms_token_counts(_ds(texts), queries)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    con = _duck(texts)
+    want = con.execute(CMS_SQL, [list(sorted(set(queries)))]).df()
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["est_count"].tolist() == want["est_count"].tolist()
+    # CMS guarantee: est >= true instance count; here w >> vocab so exact
+    truth = {"hash": 5, "join": 2, "scan": 3, "zzz": 0}
+    for t, e in zip(got["token"], got["est_count"]):
+        assert e >= truth[t]
+
+
 def test_quantile_filter_empty_corpus():
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
