@@ -39,6 +39,13 @@ FAST_PROFILE = [
     "rarity_score",
     "tfidf_topterms",
     "quantile_filter",
+    # md5-modular-arithmetic parity families (the historic drift class)
+    "cms_counts",
+    "weighted_sample",
+    # null-group discipline over the fuzz warehouse's null keys
+    "events_hourly_users",
+    "doc_stats_by_lang",
+    "source_overlap",
 ]
 
 
