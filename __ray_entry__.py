@@ -49,11 +49,29 @@ def _docs(
     all-to-all then pays per BLOCK PAIR, so a shuffle-bound query over a
     modest table wants size-proportional blocks instead (measured 2-4×
     across exact_dedup/minhash/jaccard/simhash/vocab at sf0.1: e.g.
-    exact_dedup 0.9 s → 0.3 s, vocab_topk 1.25 s → 0.33 s)."""
+    exact_dedup 0.9 s → 0.3 s, vocab_topk 1.25 s → 0.33 s).
+
+    The floor becomes CPU-aware once the table is big enough to feed
+    every core (≥1k rows per block): at driver scale (5k docs) nothing
+    changes (blocks stay 8 — small shuffles still pay per block pair),
+    but a 1M-doc corpus gets ≥2×CPUs blocks so CPU-bound stages
+    (minhash signatures) aren't capped at rows/65k tasks — measured 16
+    → 64 tasks at 1M docs."""
+    import pyarrow.parquet as pq
+
     from intelligent_ocr_ray.io_utils import sized_read_parquet
 
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    rows = pq.read_metadata(path).num_rows
+    min_blocks = max(min_blocks, min(2 * cpus, rows // 1000))
     return sized_read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns,
+        path, columns,
         rows_per_block=rows_per_block, min_blocks=min_blocks,
     )
 
