@@ -839,8 +839,10 @@ class SimHash:
                 axis=1
             )
             vals[rows[starts[:-1]]] = packed
+        # same-width uint64 -> int64 is a bit-identical reinterpret on
+        # both astype and view; view skips the copy (minhash discipline)
         return batch.append_column(
-            "simhash", pa.array(vals.astype(np.int64), pa.int64())
+            "simhash", pa.array(vals.view(np.int64), pa.int64())
         )
 
 
@@ -856,8 +858,10 @@ def _explode_simhash_bands(batch: pa.Table) -> pa.Table:
         {
             "doc_id": pa.array(out_id, pa.int64()),
             "band_idx": pa.array(out_band, pa.int32()),
-            "band_key": pa.array(keys.astype(np.int64), pa.int64()),
-            "simhash": pa.array(np.repeat(sh, SIMHASH_BANDS).astype(np.int64), pa.int64()),
+            "band_key": pa.array(keys.view(np.int64), pa.int64()),
+            "simhash": pa.array(
+                np.repeat(sh, SIMHASH_BANDS).view(np.int64), pa.int64()
+            ),
         }
     )
 
