@@ -2,13 +2,23 @@
 queries() entry AND its oracle_sql() twin on the same sf dir, compare
 row-count + schema + order-insensitive values.
 
-Usage: PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir] [query ...]
-(with query names given, only those entries run)
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+(with query names given, only those entries run; works from any cwd —
+the repo root is added to sys.path below)
 """
 
 from __future__ import annotations
 
+import os
 import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+# Ray workers inherit the env, not the driver's sys.path — export it
+# before ray.init so map_batches callables unpickle in workers.
+os.environ["PYTHONPATH"] = _REPO_ROOT + (
+    os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+)
 
 import duckdb
 import pandas as pd
