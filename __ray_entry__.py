@@ -62,12 +62,16 @@ def _docs(
     from intelligent_ocr_ray.io_utils import sized_read_parquet
 
     path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        import ray
+    import ray
 
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        cpus = 8
+    cpus = 8
+    if ray.is_initialized():
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except (ray.exceptions.RayError, RuntimeError, ValueError) as exc:
+            # cluster_resources can race a shutting-down GCS; fall back
+            # loudly rather than hiding arbitrary failures (ADVICE r4)
+            print(f"_docs: cluster_resources unavailable ({exc!r}); cpus=8")
     rows = pq.read_metadata(path).num_rows
     min_blocks = max(min_blocks, min(2 * cpus, rows // 1000))
     return sized_read_parquet(

@@ -114,6 +114,19 @@ def null_safe_grouped_sum(
     import pyarrow.compute as pc
 
     def finish(g: "pa.Table") -> "pa.Table":
+        # int64-cast is for the all-null→null-typed edge ONLY — a float
+        # partial would be silently truncated, so reject it loudly
+        # (ADVICE r4): money partials must already be integer cents.
+        for c, _ in sums:
+            if not pa.types.is_integer(g.schema.field(c).type) and not pa.types.is_null(
+                g.schema.field(c).type
+            ):
+                raise TypeError(
+                    f"null_safe_grouped_sum: partial column {c!r} is "
+                    f"{g.schema.field(c).type}, expected an integer type "
+                    "(fixed-point money/counts) — float partials would be "
+                    "truncated by the int64 cast"
+                )
         m = (
             g.drop_columns(["kpart"])
             .group_by(key_cols)

@@ -128,10 +128,9 @@ def hourly_distinct_users(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
         g = pa.table({"hour_us": hour_us, "user_id": t.column("user_id")}).group_by(
             ["hour_us", "user_id"]
         ).aggregate([])
-        upart = (
-            np.asarray(g.column("user_id").fill_null(-1), dtype=np.int64)
-            % num_parts
-        ).astype(np.int32)
+        upart = _user_part_ids(
+            np.asarray(g.column("user_id").fill_null(-1), dtype=np.int64), num_parts
+        )
         return g.append_column("upart", pa.array(upart, pa.int32()))
 
     def count_partition(g: pa.Table) -> pa.Table:
@@ -194,11 +193,19 @@ def props_rollup(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _user_part_ids(user: np.ndarray, num_parts: int) -> np.ndarray:
+    """Bucket int64 user ids into num_parts partitions via a
+    multiplicative (Fibonacci/Lehmer-style) mix of the id first — a raw
+    `id % num_parts` leaves partitions empty on strided id sets (ADVICE
+    r4). Deterministic and process-independent; co-location is the only
+    requirement, so any fixed mix is correct."""
+    h = user.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33)) % np.uint64(num_parts)).astype(np.int32)
+
+
 def _add_user_part(t: pa.Table, num_parts: int) -> pa.Table:
-    part = pc.cast(
-        pc.bit_wise_and(t.column("user_id"), np.int64(num_parts - 1)), pa.int32()
-    )
-    return t.append_column("upart", part)
+    part = _user_part_ids(np.asarray(t.column("user_id"), dtype=np.int64), num_parts)
+    return t.append_column("upart", pa.array(part, pa.int32()))
 
 
 def asof_view_before_click(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
@@ -366,10 +373,7 @@ def sessionize(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
         t = t.filter(
             pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
         )
-        part = pc.cast(
-            pc.bit_wise_and(t.column("user_id"), np.int64(num_parts - 1)), pa.int32()
-        )
-        return t.append_column("upart", part)
+        return _add_user_part(t, num_parts)
 
     def sessionize_partition(g: pa.Table) -> pa.Table:
         # one numpy pass for ALL users of the partition (the asof/

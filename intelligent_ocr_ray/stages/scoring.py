@@ -115,8 +115,11 @@ def keyword_search(
 
     import ray.data as rd
 
+    # batch_size=None → whole-block batches, so the merge input really is
+    # k × num_blocks rows as documented (ADVICE r4: the default ~1k-row
+    # batches made it k × num_batches)
     partials = ds.map_batches(
-        score_partial, batch_format="pyarrow", zero_copy_batch=True
+        score_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     # a one-row sentinel seed block (score=0, filtered in merge): when
     # NO document scores — an ordinary outcome for selective terms —
