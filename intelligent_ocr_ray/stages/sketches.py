@@ -30,7 +30,41 @@ _SCALE = 1 << 64
 
 def _md5_hex(vals: list) -> list[str]:
     # md5(CAST(v AS VARCHAR)) — identical string form on the SQL side
+    # (scalar reference; the batch path is _md5_hex_strings)
     return [hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in vals]
+
+
+def _md5_hex_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """md5 hexdigest per value of an int/string Arrow array, digesting
+    straight from the Arrow string buffers (offsets + memoryview
+    slices — the `_md5_hash_strings` technique; no Python str(v),
+    no per-value encode). Integers are cast to their decimal string
+    form first (pc.cast ≡ str(v) ≡ DuckDB CAST(v AS VARCHAR) — the
+    parity contract _check_value_type guards). Values must be
+    non-null. Returns an object ndarray of hex strings (lexicographic
+    comparability is the KMV ordering)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not len(arr):
+        return np.empty(0, dtype=object)
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        arr = pc.cast(arr, pa.string())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(
+        bufs[1],
+        dtype=off_dtype,
+        count=len(arr) + 1,
+        offset=arr.offset * np.dtype(off_dtype).itemsize,
+    )
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    md5 = hashlib.md5
+    out = np.empty(len(arr), dtype=object)
+    for i, (s, e) in enumerate(zip(offsets[:-1], offsets[1:])):
+        out[i] = md5(data[s:e]).hexdigest()
+    return out
 
 
 def _check_value_type(t: pa.DataType) -> None:
@@ -62,7 +96,7 @@ def _kmv_partial(batch: pa.Table, group_col: str, value_col: str, k: int) -> pa.
         pairs.column(group_col).combine_chunks().dictionary_encode().indices.fill_null(-1),
         dtype=np.int64,
     )
-    hx = np.array(_md5_hex(pairs.column(value_col).to_pylist()), dtype=object)
+    hx = _md5_hex_strings(pairs.column(value_col))
     order = np.lexsort((hx, codes))
     codes_s = codes[order]
     starts = np.concatenate(

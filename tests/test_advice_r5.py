@@ -106,3 +106,43 @@ def test_user_part_ids_spread_on_strided_ids():
     assert len(np.unique(parts)) >= 32
     # deterministic across calls (process-independent co-location)
     assert np.array_equal(parts, _user_part_ids(ids.copy(), 64))
+
+
+def test_fingerprint_batch_matches_scalar():
+    """The vectorized Mersenne-61 Horner (fingerprint_batch) must equal
+    the scalar reference rolling_fingerprint bit-for-bit — including
+    blank/null rows (→ 0), mixed separators, unicode tokens, and rows
+    long enough to exercise the pow-table doubling."""
+    import random
+    import string
+
+    from intelligent_ocr_ray.stages.text_stats import (
+        _FP_BASE,
+        _FP_MOD,
+        _pow61_table,
+        fingerprint_batch,
+        rolling_fingerprint,
+    )
+
+    pw = _pow61_table(70)
+    assert all(int(pw[i]) == pow(_FP_BASE, i, _FP_MOD) for i in range(70))
+
+    rng = random.Random(11)
+    texts = []
+    for _ in range(500):
+        n = rng.randrange(0, 30)
+        toks = [
+            "".join(rng.choices(string.ascii_letters + "éß漢字01", k=rng.randrange(1, 9)))
+            for _ in range(n)
+        ]
+        t = rng.choice([" ", "  ", "\t", "\n", " \r\n "]).join(toks)
+        if rng.random() < 0.25:
+            t = " " + t + "\t"
+        texts.append(t)
+    texts += ["", "   ", None, "\t\r\n", "one", " x ", "a b c " * 40]
+    col = pa.array(texts, pa.string())
+    got = fingerprint_batch(col)
+    want = np.array(
+        [rolling_fingerprint(t or "") for t in texts], dtype=np.int64
+    )
+    assert (got == want).all()
