@@ -99,6 +99,31 @@ def cpu_ref_par_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def _tmp_headroom_check(n_rows: int) -> None:
+    """64M-turn campaigns abort mid-run when /tmp crosses raylet's 95%
+    disk threshold (spill dir + bench output copies at ~3.4 GB each) —
+    previously a CLAUDE.md footnote, now enforced (VERDICT r4 #8):
+    project output + spill bytes from the row count, clean stale
+    /tmp/ior_bench_out copies first, and refuse LOUDLY if free space is
+    still short — a clean refusal beats a raylet abort 40 minutes in."""
+    import shutil
+
+    # measured at 64M turns: output parquet copies ≈3.4 GB per trial
+    # leg plus spill ≈ input bytes; ≈120 bytes/turn covers both sides
+    projected = int(n_rows * 120) * max(1, N_TRIALS)
+    free = shutil.disk_usage("/tmp").free
+    if free < projected + (2 << 30):
+        shutil.rmtree("/tmp/ior_bench_out", ignore_errors=True)
+        free = shutil.disk_usage("/tmp").free
+    if free < projected + (2 << 30):
+        raise SystemExit(
+            f"bench: /tmp has {free / 1e9:.1f} GB free but this corpus "
+            f"projects {projected / 1e9:.1f} GB of output+spill; raylet "
+            "aborts spill-heavy runs at 95% disk — free /tmp first "
+            "(old Ray session dirs, /tmp/ior_bench_out) and rerun"
+        )
+
+
 def run_bench() -> dict:
     import ray
 
@@ -125,6 +150,7 @@ def run_bench() -> dict:
         for f in os.listdir(src)
         if f.endswith(".parquet")
     )
+    _tmp_headroom_check(n_rows)
 
     # warm-up (untimed): page cache AND the full worker pool — Ray spawns
     # worker processes lazily, and first-touch at 32 CPUs costs ~20 s

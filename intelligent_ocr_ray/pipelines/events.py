@@ -431,3 +431,150 @@ def sessionize(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
 
     parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
     return parted.groupby("upart").map_groups(sessionize_partition, batch_format="pyarrow")
+
+
+def _events_ts_range_us(path: str) -> tuple[int, int]:
+    """(min, max) of the ts column in µs from parquet row-group
+    statistics — no data scan. Falls back to a narrow single-column
+    read only when a writer omitted stats (rare; documented cost:
+    one ts-column scan)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    ci = f.schema_arrow.get_field_index("ts")
+    unit = f.schema_arrow.field("ts").type.unit
+    mins, maxs = [], []
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            t = pq.read_table(path, columns=["ts"])
+            mm = pc.min_max(pc.cast(t.column("ts"), pa.timestamp("us")))
+            return mm["min"].cast(pa.int64()).as_py(), mm["max"].cast(pa.int64()).as_py()
+        mins.append(st.min)
+        maxs.append(st.max)
+    scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[unit]
+    lo = min(pa.scalar(v, pa.timestamp(unit)).cast(pa.int64()).as_py() for v in mins)
+    hi = max(pa.scalar(v, pa.timestamp(unit)).cast(pa.int64()).as_py() for v in maxs)
+    if scale is None:
+        return lo // 1_000, hi // 1_000
+    return lo * scale, hi * scale
+
+
+def sessionize_salted(sf_dir: str, num_parts: int = 64, time_salt: int = 8) -> rd.Dataset:
+    """Skew-hardened :func:`sessionize`: a mega-user (bot traffic)
+    holding a large share of events straggles the one partition that
+    owns it, exactly like the flagship's mega-conversation. The salted
+    escape hatch splits every user's events into `time_salt` disjoint
+    TIME chunks (chunk = (ts - min_ts) // span — a function of ts, so
+    chunk-local order is globally contiguous per user), sessionizes
+    each (user-partition, chunk) independently with the same vectorized
+    pass, then merges at SESSION granularity: per user, order partials
+    by start, merge neighbors whose start−prev_end ≤ gap — the identical
+    session rule, applied to rows that number sessions (≪ events), so
+    the mega-user's phase-2 group is small even though its event set
+    was huge. Output is row-identical to sessionize() (pinned by
+    test_sessionize_salted_equals_unsalted)."""
+    ds = read_events(sf_dir, columns=["ts", "user_id", "event_id", "value"])
+    lo_us, hi_us = _events_ts_range_us(os.path.join(sf_dir, "events.parquet"))
+    span = max(1, (hi_us - lo_us + time_salt) // time_salt)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        )
+        ts_us = np.asarray(t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()))
+        chunk = np.clip((ts_us - lo_us) // span, 0, time_salt - 1)
+        upart = _user_part_ids(
+            np.asarray(t.column("user_id"), dtype=np.int64), num_parts
+        ).astype(np.int64)
+        return t.append_column(
+            "upc", pa.array((upart * time_salt + chunk).astype(np.int32), pa.int32())
+        ).append_column("upart", pa.array(upart.astype(np.int32), pa.int32()))
+
+    def partial_sessions(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value_cents": pa.array([], pa.int64()),
+                "upart": pa.array([], pa.int32()),
+            }
+        )
+        if n == 0:
+            return empty
+        from ..io_utils import money_units
+
+        ts = np.asarray(g.column("ts").cast(pa.timestamp("us")).cast(pa.int64()))
+        user = np.asarray(g.column("user_id"), dtype=np.int64)
+        eid = np.asarray(g.column("event_id"), dtype=np.int64)
+        vals = np.asarray(
+            pc.fill_null(money_units(g.column("value").cast(pa.float64())), 0),
+            dtype=np.int64,
+        )
+        upart = np.asarray(g.column("upart"), dtype=np.int32)
+        order = np.lexsort((eid, ts, user))
+        user, ts, vals, upart = user[order], ts[order], vals[order], upart[order]
+        new_user = np.concatenate([[True], user[1:] != user[:-1]])
+        gap_us = np.concatenate([[0], ts[1:] - ts[:-1]])
+        new_session = new_user | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000)
+        starts = np.flatnonzero(new_session)
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(user[starts], pa.int64()),
+                "start_us": pa.array(ts[starts], pa.int64()),
+                "end_us": pa.array(ts[ends], pa.int64()),
+                "n_events": pa.array(np.diff(np.concatenate([starts, [n]])), pa.int64()),
+                "sum_value_cents": pa.array(np.add.reduceat(vals, starts), pa.int64()),
+                "upart": pa.array(upart[starts], pa.int32()),
+            }
+        )
+
+    def merge_sessions(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["upart"])
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value_cents": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        start = np.asarray(t.column("start_us"), dtype=np.int64)
+        end = np.asarray(t.column("end_us"), dtype=np.int64)
+        nev = np.asarray(t.column("n_events"), dtype=np.int64)
+        cents = np.asarray(t.column("sum_value_cents"), dtype=np.int64)
+        order = np.lexsort((start, user))
+        user, start, end, nev, cents = (
+            user[order], start[order], end[order], nev[order], cents[order]
+        )
+        new_user = np.concatenate([[True], user[1:] != user[:-1]])
+        gap_us = np.concatenate([[0], start[1:] - end[:-1]])
+        new_session = new_user | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000)
+        seg = np.flatnonzero(new_session)
+        seg_user = user[seg]
+        seg_new_user = np.concatenate([[True], seg_user[1:] != seg_user[:-1]])
+        seg_ord = np.arange(len(seg), dtype=np.int64)
+        seg_base = seg_ord[seg_new_user][np.cumsum(seg_new_user) - 1]
+        return pa.table(
+            {
+                "user_id": pa.array(seg_user, pa.int64()),
+                "session_idx": pa.array(seg_ord - seg_base, pa.int64()),
+                "n_events": pa.array(np.add.reduceat(nev, seg), pa.int64()),
+                "sum_value_cents": pa.array(np.add.reduceat(cents, seg), pa.int64()),
+                "session_start": pa.array(start[seg]).cast(pa.timestamp("us")),
+            }
+        )
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    partials = parted.groupby("upc").map_groups(
+        lambda g: partial_sessions(g.drop_columns(["upc"])), batch_format="pyarrow"
+    )
+    return partials.groupby("upart").map_groups(merge_sessions, batch_format="pyarrow")

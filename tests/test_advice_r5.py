@@ -146,3 +146,50 @@ def test_fingerprint_batch_matches_scalar():
         [rolling_fingerprint(t or "") for t in texts], dtype=np.int64
     )
     assert (got == want).all()
+
+
+def test_sessionize_salted_equals_unsalted(tmp_path, ray_session):
+    """Mega-user skew hatch (VERDICT r4 #9): time-chunked sessionize
+    must be ROW-IDENTICAL to the unsalted operator — one user holds 20%
+    of events and gaps straddle the 30-min threshold, so chunk-boundary
+    session merges are exercised for real."""
+    from intelligent_ocr_ray.pipelines.events import sessionize, sessionize_salted
+
+    rng = np.random.RandomState(3)
+    n = 20000
+    user = rng.randint(1, 300, n).astype(np.int64)
+    user[: n // 5] = 77
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + np.cumsum(rng.randint(1, 90 * 60 * 1_000_000, n).astype(np.int64))
+    rng.shuffle(ts)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(user, pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(rng.rand(n) * 100, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    cols = ["user_id", "session_idx", "n_events", "sum_value_cents", "session_start"]
+    a = (
+        sessionize(d, num_parts=4)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        sessionize_salted(d, num_parts=4, time_salt=8)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+    # the mega user's sessions exist and chunk merges happened (fewer
+    # sessions than chunks×something trivially true — pin > 0 instead)
+    assert (a["user_id"] == 77).sum() > 0
