@@ -298,6 +298,15 @@ def _q_events_sessions(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def _q_events_sessions_salted(sf_dir: str):
+    """Mega-user skew hatch (time-chunked two-phase sessionize) —
+    row-identical to sessionize by contract, so it shares the
+    events_sessions oracle SQL verbatim."""
+    from intelligent_ocr_ray.pipelines.events import sessionize_salted
+
+    return sessionize_salted(sf_dir, time_salt=8)
+
+
 def _q_events_props(sf_dir: str):
     from intelligent_ocr_ray.pipelines.events import props_rollup
 
@@ -808,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "events_sessions_salted": _q_events_sessions_salted,
         "events_props": _q_events_props,
         "events_asof": _q_events_asof,
         "events_rolling": _q_events_rolling,
@@ -831,9 +841,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "doc_chunks": _q_doc_chunks,
         "decontaminate": _q_decontaminate,
-        "top_docs_per_lang": _q_top_docs_per_lang,
         "keyword_search": _q_keyword_search,
         # -- veterans (hash-green r3 AND r4), rotated past the window -----
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_profile": _q_lang_profile,
         "sample_docs": _q_sample_docs,
         "dataset_split": _q_dataset_split,
@@ -1285,6 +1295,14 @@ FROM base
 
 
 def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_body()
+    # the salted sessionize is row-identical to sessionize by contract —
+    # one oracle, two engine implementations under test
+    sql["events_sessions_salted"] = sql["events_sessions"]
+    return sql
+
+
+def _oracle_sql_body() -> dict[str, str]:
     return {
         "extract_transcripts": _extract_full_sql(),
         "extract_passthrough": _PASSTHROUGH_SQL,
