@@ -255,11 +255,14 @@ def test_vectorized_gram_hashing_parity_on_edge_texts():
         assert got.get(i, set()) == word_ngrams(t or "", 3)
 
     mh = MinHashLSH()
-    out = mh(batch)
+    out = mh(batch)  # narrow (doc_id, sig32) per-doc table (round-5 layout)
     doc_col = np.asarray(out.column("doc_id"))
-    sigs = np.asarray(out.column("sig").combine_chunks().flatten()).reshape(
-        -1, 64
-    ).astype(np.uint64)
+    sigs = (
+        np.asarray(out.column("sig32").combine_chunks().flatten())
+        .view(np.uint32)
+        .astype(np.uint64)
+        .reshape(-1, 64)
+    )
     for i, t in enumerate(texts):
         ref = mh.signature(word_ngrams(t or "", 3))
         assert (sigs[np.flatnonzero(doc_col == i)[0]] == ref).all()
