@@ -764,19 +764,40 @@ def _attach_and_score(cand, sigs, *, threshold: float, n_docs: int):
     The sig table crosses the wire twice at 256 B/doc — at 1M docs
     ~0.5 GB total vs the ~8.5 GB the riding-signature band exchange
     moved (VERDICT r4 #3)."""
-    sig_type = pa.list_(pa.int32(), N_PERM)
+    sig_type = pa.list_(pa.int32())
     n_apart = _attach_partition_count(n_docs)
     i8_zeros = lambda n: pa.array(np.zeros(n, np.int8), pa.int8())  # noqa: E731
 
+    def _sig_varlist(values: pa.Array, n: int) -> pa.ListArray:
+        """(n*N_PERM,) int32 child → variable-size list<int32> rows of
+        length N_PERM. The union's sig column must be a VAR-SIZE list:
+        Ray's polars-backed sort rejects a fixed_size_list block whose
+        child is shorter than n*width, which is exactly the layout
+        `pa.nulls(n, fixed_size_list)` produces — an all-pair-row block
+        reaching the sort crashed on it (sf0.1, round 5)."""
+        off = pa.array(np.arange(0, (n + 1) * N_PERM, N_PERM, dtype=np.int32))
+        return pa.ListArray.from_arrays(off, values)
+
+    def _empty_lists(n: int) -> pa.ListArray:
+        """n empty list<int32> rows — 4 B/row of offsets, no validity
+        mask, polars-safe. Pair rows never have their sig read (the
+        is_sig flag splits), so empty beats null."""
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], pa.int32())
+        )
+
     def tag_sigs(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        sig32 = t.column("sig32")
+        if isinstance(sig32, pa.ChunkedArray):
+            sig32 = sig32.combine_chunks()
         return pa.table(
             {
                 "part": pa.array(_doc_part_ids(ids, n_apart), pa.int32()),
                 "is_sig": pa.array(np.ones(len(ids), np.int8), pa.int8()),
                 "k": t.column("doc_id"),
                 "other": pa.nulls(len(ids), pa.int64()),
-                "sig": t.column("sig32"),
+                "sig": _sig_varlist(sig32.flatten(), len(ids)),
             }
         )
 
@@ -788,7 +809,7 @@ def _attach_and_score(cand, sigs, *, threshold: float, n_docs: int):
                 "is_sig": i8_zeros(len(a)),
                 "k": t.column("doc_a"),
                 "other": t.column("doc_b"),
-                "sig": pa.nulls(len(a), sig_type),
+                "sig": _empty_lists(len(a)),
             }
         )
 
@@ -842,9 +863,7 @@ def _attach_and_score(cand, sigs, *, threshold: float, n_docs: int):
                 "is_sig": i8_zeros(len(pk)),
                 "k": pa.array(pother, pa.int64()),
                 "other": pa.array(pk, pa.int64()),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(att.reshape(-1), pa.int32()), N_PERM
-                ),
+                "sig": _sig_varlist(pa.array(att.reshape(-1), pa.int32()), len(pk)),
             }
         )
 
