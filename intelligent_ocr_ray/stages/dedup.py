@@ -711,6 +711,103 @@ def _cand_pairs_from_band_partition(part: pa.Table, max_bucket: int) -> pa.Table
     )
 
 
+# Below this doc count the full signature matrix (256 B/doc → ≤128 MB)
+# is broadcast via ray.put and est_jaccard is scored INSIDE the band
+# partition task — two exchanges total (band groupby + a tiny
+# est-filtered pair dedup) instead of the attach path's three sorts,
+# whose fixed scheduling floors dominate at small scale (measured:
+# 1.32 s vs the 0.77 s r4 record at sf0.1's 5k docs). Above it the
+# narrow two-pass attach exchange takes over: nothing broadcast scales
+# with the corpus (the decontaminate/window_dedup crossover
+# discipline). Semantics are identical by construction: same candidate
+# buckets, same est arithmetic, same any-uncapped-bucket pair set.
+MINHASH_BROADCAST_MAX_DOCS = 500_000
+
+_SIG_BCAST_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _bcast_sigs(sig_ref) -> tuple[np.ndarray, np.ndarray]:
+    """Once-per-worker resolve of the broadcast (sorted doc_ids, uint64
+    sig matrix) — ray.get from local plasma is zero-copy for numpy
+    payloads; the cache skips even that per map_groups call."""
+    key = sig_ref.hex()
+    hit = _SIG_BCAST_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        hit = ray.get(sig_ref)
+        _SIG_BCAST_CACHE.clear()
+        _SIG_BCAST_CACHE[key] = hit
+    return hit
+
+
+def _gather_sig_matrix(sigs) -> tuple[np.ndarray, np.ndarray]:
+    """Materialized narrow sig Dataset → (doc_ids sorted, (n, N_PERM)
+    uint64 matrix) on the driver. Only ever called below the broadcast
+    crossover (≤ MINHASH_BROADCAST_MAX_DOCS × 256 B ≈ 128 MB) — the
+    bounded-side exception to the no-driver-materialization rule."""
+    import ray
+
+    tables = [t for t in ray.get(sigs.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return np.empty(0, np.int64), np.empty((0, N_PERM), np.uint64)
+    t = pa.concat_tables(tables).combine_chunks()
+    ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+    col = t.column("sig32")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    mat = (
+        np.asarray(col.flatten())
+        .view(np.uint32)
+        .astype(np.uint64)
+        .reshape(len(ids), N_PERM)
+    )
+    o = np.argsort(ids, kind="stable")
+    return ids[o], mat[o]
+
+
+_EMPTY_SCORED = {
+    "doc_a": pa.array([], pa.int64()),
+    "doc_b": pa.array([], pa.int64()),
+    "est_jaccard": pa.array([], pa.float64()),
+}
+
+
+def _scored_pairs_from_band_partition(
+    part: pa.Table, *, max_bucket: int, threshold: float, sig_ref
+) -> pa.Table:
+    """Broadcast-path partition task: candidate pairs + est_jaccard in
+    one pass, signatures gathered from the plasma-broadcast matrix.
+    Copies of the same pair in OTHER partitions still exist (one per
+    colliding band) — the tiny est-filtered pair groupby downstream
+    dedups, exactly the r4 Max-agg semantic."""
+    cand = _cand_pairs_from_band_partition(part, max_bucket)
+    if not cand.num_rows:
+        return pa.table(_EMPTY_SCORED)
+    a = np.asarray(cand.column("doc_a"), dtype=np.int64)
+    b = np.asarray(cand.column("doc_b"), dtype=np.int64)
+    # local copy-dedup first: the same pair surfacing from two bands
+    # co-located in THIS partition scores once, not twice
+    o = np.lexsort((b, a))
+    a, b = a[o], b[o]
+    first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    a, b = a[first], b[first]
+    ids_s, mat = _bcast_sigs(sig_ref)
+    est = (mat[np.searchsorted(ids_s, a)] == mat[np.searchsorted(ids_s, b)]).mean(
+        axis=1
+    )
+    keep = est >= threshold
+    if not keep.any():
+        return pa.table(_EMPTY_SCORED)
+    return pa.table(
+        {
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        }
+    )
+
+
 # per-worker-process MinHashLSH cache for the stateless-task path (the
 # permutation table is cheap to build but free to reuse) — same pattern
 # as stages/extractor._PROCESS_EXTRACTORS
@@ -915,7 +1012,12 @@ def _attach_and_score(cand, sigs, *, threshold: float, n_docs: int):
 
 
 def minhash_lsh_pairs(
-    ds, threshold: float = 0.5, *, concurrency=None, max_bucket: int = 200
+    ds,
+    threshold: float = 0.5,
+    *,
+    concurrency=None,
+    max_bucket: int = 200,
+    broadcast_max_docs: int = MINHASH_BROADCAST_MAX_DOCS,
 ):
     """MinHash/LSH near-dup candidates with estimated Jaccard ≥ τ.
 
@@ -972,6 +1074,27 @@ def minhash_lsh_pairs(
         )
 
     parted = bands.map_batches(add_bpart, batch_format="pyarrow", zero_copy_batch=True)
+    if n_docs <= broadcast_max_docs:
+        # small-corpus fast path: broadcast the bounded sig matrix and
+        # score inside the band partition — two exchanges total
+        import ray
+        from ray.data.aggregate import Max
+
+        sig_ref = ray.put(_gather_sig_matrix(sigs))
+        scored = parted.groupby("bpart").map_groups(
+            functools.partial(
+                _scored_pairs_from_band_partition,
+                max_bucket=max_bucket,
+                threshold=threshold,
+                sig_ref=sig_ref,
+            ),
+            batch_format="pyarrow",
+        )
+        # the same pair can still surface from bands in DIFFERENT
+        # partitions; est is identical every time → Max = pick-any
+        return scored.groupby(["doc_a", "doc_b"]).aggregate(
+            Max("est_jaccard", alias_name="est_jaccard")
+        )
     cand = parted.groupby("bpart").map_groups(
         functools.partial(_cand_pairs_from_band_partition, max_bucket=max_bucket),
         batch_format="pyarrow",

@@ -431,3 +431,20 @@ def test_null_text_oracle_parity(tmp_path):
     # collide in minhash (sentinel sigs -> est 1.0), and the dup pair too
     mh = qs["minhash_dups"](str(tmp_path)).to_pandas()
     assert {(1, 2), (1, 5), (2, 5), (3, 4)} <= set(zip(mh.doc_a, mh.doc_b))
+
+
+def test_minhash_broadcast_and_attach_paths_agree():
+    """The two minhash_lsh_pairs execution paths — the ≤500k-doc
+    broadcast-sig fast path (default at test scale) and the >500k-doc
+    narrow two-pass attach exchange (forced via broadcast_max_docs=0) —
+    must return the identical pair set with identical est_jaccard."""
+    bc = minhash_lsh_pairs(_docs_ds(), threshold=0.5).to_pandas()
+    at = minhash_lsh_pairs(
+        _docs_ds(), threshold=0.5, broadcast_max_docs=0
+    ).to_pandas()
+    key = ["doc_a", "doc_b"]
+    bc = bc.sort_values(key).reset_index(drop=True)
+    at = at.sort_values(key).reset_index(drop=True)
+    assert len(bc) == len(at) and len(bc) > 0
+    assert (bc[key].values == at[key].values).all()
+    assert (bc.est_jaccard.values == at.est_jaccard.values).all()
