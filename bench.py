@@ -269,11 +269,17 @@ def run_bench() -> dict:
     ):
         if name not in qs or headline_only:
             continue
-        t0 = time.perf_counter()
-        res = qs[name](SF_DIR)
-        # consume: aggregates are small → materializing is the consume step
-        res.to_pandas()
-        results[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: a single run conflates worker-pool warmup + the
+        # host's neighbor noise with the operator (minhash_dups
+        # measured 2.7 s cold vs 0.83 s warm in the same window)
+        best = float("inf")
+        for _ in range(min(2, N_TRIALS)):
+            t0 = time.perf_counter()
+            res = qs[name](SF_DIR)
+            # consume: aggregates are small → materializing IS the consume
+            res.to_pandas()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 3)
 
     ray.shutdown()
 
