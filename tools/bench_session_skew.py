@@ -70,12 +70,14 @@ def main() -> None:
     from intelligent_ocr_ray.pipelines.events import sessionize, sessionize_salted
 
     d = build_fixture(n, share)
+    bal = build_fixture(n, 0.0)  # balanced reference corpus, same size
     # warm page cache + worker pool
-    sessionize(d, num_parts=64).count()
+    sessionize(bal, num_parts=64).count()
 
     best: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in (
+        ("balanced", lambda: sessionize(bal, num_parts=64)),
         ("unsalted", lambda: sessionize(d, num_parts=64)),
         ("salted", lambda: sessionize_salted(d, num_parts=64, time_salt=16)),
     ):
@@ -90,9 +92,15 @@ def main() -> None:
                 "metric": "sessionize_skew",
                 "n_events": n,
                 "mega_share": share,
+                "balanced_sec": round(best["balanced"], 3),
                 "unsalted_sec": round(best["unsalted"], 3),
                 "salted_sec": round(best["salted"], 3),
-                "ratio": round(best["unsalted"] / best["salted"], 3),
+                # the north criterion: skewed wall (best mitigation)
+                # within 1.5x of the balanced-corpus wall
+                "skew_vs_balanced": round(
+                    min(best["unsalted"], best["salted"]) / best["balanced"], 3
+                ),
+                "salted_vs_unsalted": round(best["salted"] / best["unsalted"], 3),
                 "rows_match": rows["unsalted"] == rows["salted"],
             }
         )
